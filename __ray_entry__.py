@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline on sf0.001;
+``queries()`` exposes every implemented operator/pipeline (SURVEY.md §2
+plus the training-data operator suite); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in kg_covid_19_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +16,36 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: pages -> extract ->
+    mentions -> link -> canonicalize -> dedup -> merged edge table."""
+    from kg_covid_19_ray.pipelines.flagship import build_kg
+
+    _nodes, edges = build_kg("/root/testdata/sf0.001")
+    return edges
+
+
+def _registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
+    from kg_covid_19_ray.pipelines import kg_queries
+
+    reg: dict[str, tuple[Callable[[str], Any], str | None]] = {}
+    reg.update(kg_queries.REGISTRY)
+    for mod_name in ("relational_queries", "text_queries", "dedup_queries",
+                     "similarity_queries", "holdout_queries",
+                     "multimodal_queries"):
+        try:
+            import importlib
+            mod = importlib.import_module(
+                f"kg_covid_19_ray.pipelines.{mod_name}")
+            reg.update(mod.REGISTRY)
+        except ModuleNotFoundError:
+            continue
+    return reg
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _registry().items()
+            if sql is not None}

@@ -1,0 +1,233 @@
+"""Generic relational operators over the star-schema tables.
+
+These exercise the engine's filter / project / broadcast-join /
+pre-aggregated groupby / sort / limit machinery (SURVEY §2.2 M1-M4,
+§2.4-§2.7) on the TPC-H-ish driver tables. Patterns:
+
+- column pruning + row-group predicate pushdown at the read;
+- per-batch PARTIAL aggregation (combiner) before the groupby shuffle,
+  so the exchange carries one row per (key, block) instead of all rows;
+- small dimension tables broadcast once via ``ray.put`` and resolved in
+  actor-pool ``__init__`` (the reference's load-once lookup dicts,
+  string_ppi.py:53-59) — never a shuffle join for a dimension.
+
+Float determinism note: aggregate outputs are rounded (2 or 4 dp) on
+both the Ray and oracle sides; summands are 2-dp currency values, so
+rounding is stable against summation-order differences.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+_Q1_CUTOFF = _dt.datetime(1998, 9, 2)
+
+
+def _round_col(col, ndigits: int) -> pa.Array:
+    # DuckDB round() is half-away-from-zero; pyarrow defaults to
+    # half-to-even — pin the mode so both engines agree on boundaries.
+    return pc.round(col, ndigits=ndigits, round_mode="half_towards_infinity")
+
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-style summary with a per-batch combiner."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= pa.scalar(_Q1_CUTOFF)),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(_Q1_CUTOFF)))
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        batch = batch.append_column("disc_price", disc_price)
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ("l_quantity", "count"),
+        ])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("l_quantity_count", alias_name="count_order"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(batch["sum_qty"],
+                            pc.cast(batch["count_order"], pa.float64()))
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": _round_col(batch["sum_qty"], 2),
+            "sum_base_price": _round_col(batch["sum_base_price"], 2),
+            "sum_disc_price": _round_col(batch["sum_disc_price"], 2),
+            "avg_qty": _round_col(avg_qty, 4),
+            "count_order": batch["count_order"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+class _NationEnricher:
+    """Actor-pool stage: broadcast customer->nation dimension resolved
+    ONCE per actor in __init__ (ST1-style lookup state)."""
+
+    def __init__(self, cust_ref, nation_ref):
+        cust = ray.get(cust_ref)  # dict custkey -> nationkey
+        nation = ray.get(nation_ref)  # dict nationkey -> name
+        self.cust_to_nation = {k: nation.get(v, "?") for k, v in cust.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        lut = self.cust_to_nation
+        names = pa.array([lut.get(int(k)) for k in keys], pa.string())
+        return batch.append_column("n_name", names)
+
+
+def top_nations(sf_dir: str) -> ray.data.Dataset:
+    """Revenue per nation: orders ⨝ customer ⨝ nation as a broadcast
+    lookup, pre-aggregated, top-10 by revenue."""
+    import pyarrow.parquet as pq
+
+    cust_t = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    cust_ref = ray.put(dict(zip(cust_t["c_custkey"].to_pylist(),
+                                cust_t["c_nationkey"].to_pylist())))
+    nation_ref = ray.put(dict(zip(nation_t["n_nationkey"].to_pylist(),
+                                  nation_t["n_name"].to_pylist())))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+    enriched = orders.map_batches(
+        _NationEnricher, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4), num_cpus=1,
+        fn_constructor_args=(cust_ref, nation_ref))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("n_name").aggregate([
+            ("o_totalprice", "sum"), ("o_totalprice", "count")])
+
+    agg = enriched.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(
+            Sum("o_totalprice_sum", alias_name="revenue"),
+            Sum("o_totalprice_count", alias_name="n_orders"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch["n_name"],
+            "revenue": _round_col(batch["revenue"], 2),
+            "n_orders": batch["n_orders"],
+        })
+
+    out = agg.map_batches(finalize, batch_format="pyarrow")
+    return out.sort([("revenue"), ("n_name")], descending=[True, False]).limit(10)
+
+
+TOP_NATIONS_SQL = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+LIMIT 10
+"""
+
+
+def returned_topk(sf_dir: str) -> ray.data.Dataset:
+    """Filter + computed column + deterministic top-k (M2/O3 analogs)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_returnflag") == "R"),
+    )
+
+    def compute(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = _round_col(pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"])), 2)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "revenue": rev,
+        })
+
+    ds = ds.map_batches(compute, batch_format="pyarrow")
+    return ds.sort([("revenue"), ("l_orderkey"), ("l_linenumber")],
+                   descending=[True, False, False]).limit(20)
+
+
+RETURNED_TOPK_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_returnflag = 'R'
+ORDER BY revenue DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1h window aggregate per user (streaming-shaped analog:
+    event-time windows as groupby over truncated timestamps)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch["ts"], unit="hour")
+        batch = pa.table({"user_id": batch["user_id"], "window_start": win,
+                          "value": batch["value"]})
+        return batch.group_by(["user_id", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "window_start"]).aggregate(
+            Sum("value_sum", alias_name="sum_value"),
+            Sum("value_count", alias_name="n_events"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "window_start": batch["window_start"],
+            "sum_value": _round_col(batch["sum_value"], 4),
+            "n_events": batch["n_events"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       round(sum(value), 4) AS sum_value, count(*) AS n_events
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+"""

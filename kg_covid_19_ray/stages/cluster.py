@@ -1,0 +1,112 @@
+"""Same-as clustering: distributed connected components (north star).
+
+Computes, for every node that appears in a same-as edge table, the
+lexicographic-min member of its connected component (the canonical id).
+This replaces the reference's merge-time ``remap_node_identifier``
+(merge.yaml:42-47) with a scalable construction: iterative min-label
+propagation — the dataflow formulation of distributed union-find
+(pointer-jumping), converging in O(log(diameter)) rounds.
+
+Per round (all Ray Data ops, hash-partitioned):
+    1. candidate labels for x = labels of every neighbor of x (hash join
+       of the undirected edge list against the current label table);
+    2. new label(x) = min(current label, candidates)  (groupby-min);
+    3. stop when no label changed (cheap order-insensitive fingerprint:
+       global sum of row hashes).
+
+Checkpointing between rounds (SURVEY §7.4 "union-find at scale") is the
+caller's choice via ``state.checkpoint``; rounds are bounded.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+
+def _undirected(edges: ray.data.Dataset, src: str, dst: str) -> ray.data.Dataset:
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch[src].combine_chunks() if isinstance(batch[src], pa.ChunkedArray) else batch[src]
+        b = batch[dst].combine_chunks() if isinstance(batch[dst], pa.ChunkedArray) else batch[dst]
+        return pa.table({
+            "node": pa.concat_arrays([a, b]),
+            "nbr": pa.concat_arrays([b, a]),
+        })
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+def _fingerprint(labels: ray.data.Dataset) -> int:
+    """Order-insensitive int fingerprint of (member,label) rows."""
+    def h(batch: pa.Table) -> pa.Table:
+        import zlib
+        joined = pc.binary_join_element_wise(batch["member"], batch["label"], "\x1f")
+        total = sum(zlib.crc32(x.encode()) for x in joined.to_pylist())
+        return pa.table({"h": pa.array([total], pa.int64())})
+    out = labels.map_batches(h, batch_format="pyarrow") \
+                .aggregate(Sum("h", alias_name="total"))
+    return int(out["total"])
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    src: str = "a",
+    dst: str = "b",
+    *,
+    num_partitions: int = 8,
+    max_rounds: int = 30,
+) -> ray.data.Dataset:
+    """-> Dataset(member:string, canon:string), one row per distinct node.
+
+    ``num_partitions`` sizes the hash joins/groupbys; set ~2-4x the
+    cluster CPU count at scale. Hub components (one famous entity
+    same-as'ed by millions) are benign here: min-label propagation's
+    per-node state is one label, and the groupby-min combiner
+    pre-aggregates within partitions before the exchange.
+    """
+    # The same-as edge/label tables are orders of magnitude smaller than
+    # the corpus (only ids appearing in same-as assertions), so pinning
+    # them per round is cheap — and REQUIRED: without materialize() each
+    # round's Dataset would chain on the previous round's lazy lineage,
+    # re-executing all prior rounds on every fingerprint (O(rounds^2))
+    # and growing an unboundedly deep DAG.
+    und = _undirected(edges, src, dst).materialize()
+
+    labels = und.select_columns(["node"]).unique("node")
+    labels = ray.data.from_arrow(
+        pa.table({"member": pa.array(labels, pa.string()),
+                  "label": pa.array(labels, pa.string())}))
+
+    prev_fp = None
+    for _ in range(max_rounds):
+        # neighbor labels: join undirected edges (node,nbr) with current
+        # labels on nbr -> candidate label for node
+        cand = und.join(
+            labels.rename_columns({"member": "nbr"}),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("nbr",),
+        ).select_columns(["node", "label"]).rename_columns({"node": "member"})
+        merged = cand.union(labels)
+        labels = merged.groupby("member").aggregate(
+            Min("label", alias_name="label")).materialize()
+        fp = _fingerprint(labels)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    return labels.rename_columns({"label": "canon"})
+
+
+def canonical_map_from_components(labels: ray.data.Dataset) -> dict[str, str]:
+    """Collect the (small) member->canon table to a broadcastable dict.
+
+    The component table is orders of magnitude smaller than the corpus
+    (only ids appearing in same-as assertions); it is the classic
+    broadcast-small-side of SURVEY §2.4.
+    """
+    out: dict[str, str] = {}
+    for batch in labels.iter_batches(batch_format="pyarrow"):
+        for m, c in zip(batch["member"].to_pylist(), batch["canon"].to_pylist()):
+            out[m] = c
+    return out

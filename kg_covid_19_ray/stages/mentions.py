@@ -1,0 +1,89 @@
+"""Mention detection: the NER/termite-hit analog (reference M10).
+
+The reference walks each document's ``termite_hits`` maps and unions hit
+ids per document (scibite_cord.py:141-171,342-359). Here mentions are
+*detected* from page text with a gazetteer — the
+dictionary-NER stand-in the north star asks for — as an ACTOR-POOL
+``map_batches`` stage: pattern state is built once per actor in
+``__init__`` (the Ray analog of the reference loading its lookup maps in
+``Transform.__init__``, string_ppi.py:53-59), and each ``__call__`` is
+fully vectorized — one RE2 scan per gazetteer term per batch via
+``pyarrow.compute.match_substring_regex``, no Python per row.
+
+Scaling note: per-term vectorized scans are linear in |gazetteer|; for
+gazetteers beyond ~10^3 surface forms swap the inner loop for a single
+Aho-Corasick automaton pass per batch (same emitted schema, same actor
+shape) — the pipeline around this stage does not change.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from kg_covid_19_ray.sources.gazetteer import GAZETTEER
+
+MENTION_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("gaz_idx", pa.int32()),
+    ("surface", pa.string()),
+    ("raw_id", pa.string()),
+])
+
+
+class MentionDetector:
+    """Callable class for ``map_batches(..., concurrency=N)``.
+
+    Emits one row per (document, matched gazetteer entry): columns
+    ``doc_id, gaz_idx, surface, raw_id``. Word-boundary semantics:
+    RE2 ``\\b<surface>\\b`` — equivalent to the oracle's
+    ``' '||text||' ' LIKE '% surface %'`` on the space-separated corpus.
+    """
+
+    def __init__(self, gazetteer: list[tuple[str, str, str, str]] | None = None):
+        entries = gazetteer if gazetteer is not None else GAZETTEER
+        # per-actor setup: patterns + output constants, built once
+        import re as _re
+        self.patterns = [rf"\b{_re.escape(surface)}\b"
+                         for surface, _, _, _ in entries]
+        self.surfaces = [surface for surface, _, _, _ in entries]
+        self.raw_ids = [raw_id for _, raw_id, _, _ in entries]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray) else batch["text"]
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_docs: list[np.ndarray] = []
+        out_idx: list[np.ndarray] = []
+        for idx, pattern in enumerate(self.patterns):
+            mask = pc.fill_null(pc.match_substring_regex(text, pattern), False)
+            hits = doc_ids[mask.to_numpy(zero_copy_only=False)]
+            if len(hits):
+                out_docs.append(hits)
+                out_idx.append(np.full(len(hits), idx, dtype=np.int32))
+        if not out_docs:
+            return MENTION_SCHEMA.empty_table()
+        docs = np.concatenate(out_docs)
+        idxs = np.concatenate(out_idx)
+        surfaces = pa.array([self.surfaces[i] for i in idxs], pa.string())
+        raw = pa.array([self.raw_ids[i] for i in idxs], pa.string())
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "gaz_idx": pa.array(idxs, pa.int32()),
+            "surface": surfaces,
+            "raw_id": raw,
+        })
+
+
+def detect_mentions(docs: ray.data.Dataset, *, concurrency=(2, 8),
+                    batch_size: int = 2048) -> ray.data.Dataset:
+    """docs must carry ``doc_id`` and ``text`` columns."""
+    return docs.map_batches(
+        MentionDetector,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
