@@ -28,7 +28,11 @@ import ray.data
 
 from kg_covid_19_ray.sources import gazetteer as gz
 from kg_covid_19_ray.sources.pages import read_pages
-from kg_covid_19_ray.stages.dedup import distinct, first_wins
+from kg_covid_19_ray.stages.dedup import (
+    distinct,
+    distinct_within_blocks,
+    first_wins,
+)
 from kg_covid_19_ray.stages.extract import extract_text
 from kg_covid_19_ray.stages.linking import link_mentions_batch, make_canonicalize
 from kg_covid_19_ray.stages.mentions import detect_mentions
@@ -47,16 +51,40 @@ def _doc_curie(doc_id_col) -> pa.Array:
         pa.array(["WEB"] * n), pc.cast(doc_id_col, pa.string()), ":")
 
 
-def extracted_docs(sf_dir: str, *, concurrency=None) -> ray.data.Dataset:
+def pages_dataset(source: str) -> ray.data.Dataset:
+    """Resolve a pages input: a directory of pages parquet (realistic
+    crawl-dump path, used by bench) or a testdata sf dir (pages
+    synthesized on the fly from documents.parquet)."""
+    import os
+    if os.path.isdir(source) and (
+            os.path.exists(os.path.join(source, "_SUCCESS"))
+            or any(f.endswith(".parquet") and not f.startswith("documents")
+                   for f in os.listdir(source))
+    ) and not os.path.exists(os.path.join(source, "documents.parquet")):
+        return ray.data.read_parquet(
+            source, columns=["url", "warc_ts", "html", "lang"])
+    return read_pages(source)
+
+
+def extracted_docs(source: str | ray.data.Dataset) -> ray.data.Dataset:
     """pages -> extracted (url, warc_ts, lang, doc_id, title, text)."""
-    return extract_text(read_pages(sf_dir))
+    pages = source if isinstance(source, ray.data.Dataset) else pages_dataset(source)
+    return extract_text(pages)
 
 
-def canonical_mentions(sf_dir: str, *, detector_concurrency=(2, 8),
+def canonical_mentions(source: str | ray.data.Dataset,
+                       *, detector_concurrency=(1, 32),
                        batch_size: int = 2048) -> ray.data.Dataset:
     """-> Dataset(doc_id, gaz_idx, surface, curie, name, category,
-    order_key): linked + SSSOM-normalized + cluster-remapped mentions."""
-    docs = extracted_docs(sf_dir)
+    order_key): linked + SSSOM-normalized + cluster-remapped mentions.
+    ``source`` may be an sf dir, a pages parquet dir, or an
+    already-extracted docs Dataset (carrying doc_id + text)."""
+    if isinstance(source, ray.data.Dataset):
+        docs = source
+    else:
+        docs = extracted_docs(source)
+    # project early: the mention branch only needs (doc_id, text)
+    docs = docs.select_columns(["doc_id", "text"])
     mentions = detect_mentions(docs, concurrency=detector_concurrency,
                                batch_size=batch_size)
     mentions = mentions.map_batches(link_mentions_batch, batch_format="pyarrow")
@@ -75,7 +103,16 @@ def canonical_mentions(sf_dir: str, *, detector_concurrency=(2, 8),
 
 def mention_edges(mentions: ray.data.Dataset) -> ray.data.Dataset:
     """distinct (page, term) -> biolink:mentions edge rows (D2;
-    scibite_cord.py:220-232 edge assembly)."""
+    scibite_cord.py:220-232 edge assembly).
+
+    Dedup runs on the NARROW key (doc_id:int64, curie) BEFORE the
+    constant columns are attached. Because the detector emits all of a
+    page's mentions inside one block, (doc_id, curie) never repeats
+    across blocks — dedup is block-local and SHUFFLE-FREE
+    (``distinct_within_blocks``; assumption documented there). A
+    re-partitioned mention table must use ``distinct`` instead."""
+    pairs = distinct_within_blocks(mentions, ["doc_id", "curie"])
+
     def assemble(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table({
@@ -88,14 +125,14 @@ def mention_edges(mentions: ray.data.Dataset) -> ray.data.Dataset:
             "provided_by": pa.array([gz.PROVIDED_BY] * n),
         })
 
-    edges = mentions.map_batches(assemble, batch_format="pyarrow")
-    return distinct(edges, EDGE_COLUMNS)
+    return pairs.map_batches(assemble, batch_format="pyarrow")
 
 
-def kg_nodes(sf_dir: str,
+def kg_nodes(source: str | ray.data.Dataset,
              mentions: ray.data.Dataset | None = None) -> ray.data.Dataset:
-    """Publication node per page + first-wins term nodes (D1/D3/ST6)."""
-    docs = extracted_docs(sf_dir)
+    """Publication node per page + first-wins term nodes (D1/D3/ST6).
+    ``source``: sf dir / pages dir / extracted-docs Dataset."""
+    docs = source if isinstance(source, ray.data.Dataset) else extracted_docs(source)
 
     def pub_nodes(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -111,7 +148,7 @@ def kg_nodes(sf_dir: str,
     pubs = docs.map_batches(pub_nodes, batch_format="pyarrow")
 
     if mentions is None:
-        mentions = canonical_mentions(sf_dir)
+        mentions = canonical_mentions(source)
 
     def term_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -128,13 +165,49 @@ def kg_nodes(sf_dir: str,
     return pubs.union(terms)
 
 
-def build_kg(sf_dir: str, *, sort_output: bool = False):
-    """-> (nodes Dataset, edges Dataset). ``sort_output`` adds the O5
-    deterministic final sort (a full shuffle; enable for materialized
-    exports, skip for order-insensitive consumers)."""
-    mentions = canonical_mentions(sf_dir)
+def build_kg(source: str | ray.data.Dataset, *, sort_output: bool = False,
+             materialize_mentions: bool = False,
+             share: str = "none", checkpoint_dir: str | None = None):
+    """-> (nodes Dataset, edges Dataset).
+
+    ``sort_output`` adds the O5 deterministic final sort (a full shuffle;
+    enable for materialized exports, skip for order-insensitive
+    consumers).
+
+    The DAG consumes the extracted docs twice (mention branch +
+    publication-node branch) and the mention table twice (edge dedup +
+    term-node dedup). ``share`` controls how that fan-out is executed:
+
+    - ``"none"``: pure streaming; each consumer re-runs its lineage.
+      Right for one-shot single-output runs.
+    - ``"materialize"``: pin extracted docs in the object store (spills
+      under pressure). Right when both outputs are consumed in one
+      session at moderate scale (bench).
+    - ``"checkpoint"``: write extracted docs through
+      ``state.checkpoint.run_stage`` under ``checkpoint_dir`` —
+      the resumable, any-scale path (re-runs skip extraction entirely).
+
+    ``materialize_mentions`` additionally pins the narrow mention table.
+    """
+    if share == "checkpoint":
+        from kg_covid_19_ray.state.checkpoint import (
+            fingerprint_for_path, run_stage)
+        assert checkpoint_dir, "share='checkpoint' needs checkpoint_dir"
+        src_key = source if isinstance(source, str) else "<dataset>"
+        docs = run_stage(
+            checkpoint_dir, "extracted_docs",
+            fingerprint_for_path(src_key, "extract-v1"),
+            lambda: extracted_docs(source), inputs=[src_key])
+    elif share == "materialize":
+        docs = extracted_docs(source).materialize()
+    else:
+        docs = extracted_docs(source)
+
+    mentions = canonical_mentions(docs)
+    if materialize_mentions:
+        mentions = mentions.materialize()
     edges = mention_edges(mentions)
-    nodes = kg_nodes(sf_dir, mentions=mentions)
+    nodes = kg_nodes(docs, mentions=mentions)
     if sort_output:
         nodes = nodes.sort("id")
         edges = edges.sort(["subject", "object"])

@@ -57,10 +57,22 @@ def doc_url(source_col: pa.Array, doc_id_col: pa.Array) -> pa.Array:
     )
 
 
-def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
-    """documents(doc_id, text, lang, source, ...) -> pages batch (Arrow)."""
+REPLICA_STRIDE = 1_000_000  # doc_id offset per corpus replica
+
+
+def pages_batch_from_documents(batch: pa.Table,
+                               replica: int = 0) -> pa.Table:
+    """documents(doc_id, text, lang, source, ...) -> pages batch (Arrow).
+
+    ``replica`` > 0 shifts doc ids by ``replica * REPLICA_STRIDE`` —
+    used by the bench fixture to scale the corpus deterministically
+    (same text, distinct urls/ids) without external data.
+    """
     n = batch.num_rows
     doc_id = batch["doc_id"]
+    if replica:
+        doc_id = pc.add(pc.cast(doc_id, pa.int64()),
+                        replica * REPLICA_STRIDE)
     text = pc.cast(batch["text"], pa.string())
     title = pc.binary_join_element_wise(
         pa.array(["Doc"] * n), pc.cast(doc_id, pa.string()), " ")
@@ -99,14 +111,29 @@ def read_pages(sf_dir: str, *, include_text: bool = False) -> ray.data.Dataset:
     return ds
 
 
-def write_pages_parquet(sf_dir: str, out_dir: str) -> str:
+def write_pages_parquet(sf_dir: str, out_dir: str, *,
+                        replicas: int = 1) -> str:
     """Materialize the synthesized pages table to Parquet (bench fixture:
     the timed pipeline then starts from an on-disk pages table, like a
-    real crawl dump). Idempotent: skips when a _SUCCESS marker exists."""
+    real crawl dump). ``replicas`` scales the corpus deterministically.
+    Idempotent: skips when a _SUCCESS marker exists."""
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
-    read_pages(sf_dir, include_text=True).write_parquet(out_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        tables = [pages_batch_from_documents(batch, replica=r)
+                  for r in range(replicas)]
+        return pa.concat_tables(tables)
+
+    out = ds.map_batches(replicate, batch_format="pyarrow", batch_size=64)
+    # many part files -> parallel-friendly read (row-group granularity of
+    # one big file would cap read parallelism at a handful of tasks)
+    out.repartition(max(32, replicas // 16)).write_parquet(out_dir)
     with open(marker, "w") as f:
         f.write("ok\n")
     return out_dir

@@ -3,26 +3,47 @@
 The reference dedups with in-process ``seen`` sets whose semantics depend
 on file/line order (drug_central.py:102-131, scibite_cord.py:205-218,
 string_ppi.py:185-243) — correct only single-threaded. Here every dedup
-is a hash-partitioned ``groupby`` with an EXPLICIT deterministic order
-key (SURVEY §2.9/§7.4): "first" = minimum of ``order_col``, which the
-pipeline derives from stable row identity (e.g. ``doc_id*K + gaz_idx``),
-so the result is identical at any parallelism.
+is a hash-partitioned reduce with an EXPLICIT deterministic order key
+(SURVEY §2.9/§7.4): "first" = minimum of ``order_col``, so the result is
+identical at any parallelism.
 
-Both dedups pre-reduce inside ``map_batches`` (a combiner) before the
-shuffle, so the exchange moves at most one row per distinct key per
-block — the difference between shipping 10^12 mention rows and shipping
-the distinct entity table.
+Two-phase shape, sized for high-cardinality keys:
+
+1. COMBINE inside ``map_batches``: per-batch vectorized dedup (Arrow
+   ``group_by``), so the shuffle moves at most one row per distinct key
+   per block;
+2. hash-BUCKET exchange: rows are routed by ``hash(key) % num_buckets``
+   and each bucket is reduced with ONE vectorized Arrow call.
+   ``groupby(key).map_groups`` would invoke Python once per group —
+   O(distinct keys) interpreter calls; bucketing keeps the per-group
+   work in C and the Python call count at ``num_buckets``.
+
+Row hashes come from ``pandas.util.hash_pandas_object`` (deterministic,
+process-independent — unlike builtin ``hash`` under PYTHONHASHSEED).
+Skew: a hot key occupies one bucket but is pre-combined per block, so a
+bucket sees at most one row per (key, upstream block) — bounded by block
+count, not row count.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
+
+DEFAULT_NUM_BUCKETS = 64
+
+
+def _row_bucket(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
+    df = batch.select(keys).to_pandas()
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
 
 
 def _sorted_first_per_key(batch: pa.Table, key_cols: list[str],
                           order_col: str) -> pa.Table:
-    """Within one Arrow table: keep the min-order row per key, stably."""
+    """Within one Arrow table: keep the min-order row per key (all in C)."""
     if batch.num_rows == 0:
         return batch
     cols = list(batch.column_names)
@@ -35,31 +56,61 @@ def _sorted_first_per_key(batch: pa.Table, key_cols: list[str],
     return agg.select(cols)
 
 
-def first_wins(ds: ray.data.Dataset, key_cols: list[str],
-               order_col: str) -> ray.data.Dataset:
+def first_wins(ds: ray.data.Dataset, key_cols: list[str], order_col: str,
+               *, num_buckets: int = DEFAULT_NUM_BUCKETS) -> ray.data.Dataset:
     """Deterministic first-wins dedup: per key keep the row with the
-    smallest ``order_col``. Combiner per batch, then global groupby."""
+    smallest ``order_col``."""
     keys = list(key_cols)
 
     def combine(batch: pa.Table) -> pa.Table:
-        return _sorted_first_per_key(batch, keys, order_col)
+        batch = _sorted_first_per_key(batch, keys, order_col)
+        return batch.append_column(
+            "__bucket", _row_bucket(batch, keys, num_buckets))
 
     pre = ds.map_batches(combine, batch_format="pyarrow")
 
-    def reduce_group(batch: pa.Table) -> pa.Table:
-        return _sorted_first_per_key(batch, keys, order_col)
+    def reduce_bucket(bucket: pa.Table) -> pa.Table:
+        bucket = bucket.drop_columns(["__bucket"])
+        return _sorted_first_per_key(bucket, keys, order_col)
 
-    return pre.groupby(keys).map_groups(reduce_group, batch_format="pyarrow")
+    return pre.groupby("__bucket").map_groups(
+        reduce_bucket, batch_format="pyarrow")
 
 
-def distinct(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
-    """Exact distinct on a column subset (edge dedup D2: one edge per
-    composite key). Pre-distinct per batch, then grouped head(1)."""
+def distinct_within_blocks(ds: ray.data.Dataset,
+                           cols: list[str]) -> ray.data.Dataset:
+    """Shuffle-free distinct for keys that are CO-PARTITIONED with the
+    block layout. Partitioning assumption (documented per SURVEY §2.10):
+    all rows sharing a key live in the same block — true for
+    (doc_id, term) mention pairs, which are emitted per page by the
+    detector and never cross block boundaries. NOT valid for keys that
+    repeat across blocks (use ``distinct``)."""
     keys = list(cols)
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        return batch.select(keys).group_by(keys, use_threads=False).aggregate([])
+        return batch.select(keys).group_by(
+            keys, use_threads=False).aggregate([])
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def distinct(ds: ray.data.Dataset, cols: list[str],
+             *, num_buckets: int = DEFAULT_NUM_BUCKETS) -> ray.data.Dataset:
+    """Exact distinct on a column subset (edge dedup D2: one edge per
+    composite key). Other columns are dropped."""
+    keys = list(cols)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        batch = batch.select(keys).group_by(
+            keys, use_threads=False).aggregate([])
+        return batch.append_column(
+            "__bucket", _row_bucket(batch, keys, num_buckets))
 
     pre = ds.map_batches(per_batch, batch_format="pyarrow")
-    return pre.groupby(keys).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+    def reduce_bucket(bucket: pa.Table) -> pa.Table:
+        return bucket.select(keys).group_by(
+            keys, use_threads=False).aggregate([])
+
+    return pre.groupby("__bucket").map_groups(
+        reduce_bucket, batch_format="pyarrow")

@@ -77,13 +77,46 @@ class MentionDetector:
         })
 
 
-def detect_mentions(docs: ray.data.Dataset, *, concurrency=(2, 8),
-                    batch_size: int = 2048) -> ray.data.Dataset:
-    """docs must carry ``doc_id`` and ``text`` columns."""
+_TASK_DETECTOR: MentionDetector | None = None
+
+
+def _detect_batch_task(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant with per-worker-process state cache: the
+    detector is built once per Ray worker process (not per batch), and
+    task scheduling shares CPUs elastically with neighbour stages —
+    an actor pool that reserves the whole node starves the read/write
+    operators and serializes the pipeline."""
+    global _TASK_DETECTOR
+    if _TASK_DETECTOR is None:
+        _TASK_DETECTOR = MentionDetector()
+    return _TASK_DETECTOR(batch)
+
+
+def detect_mentions(docs: ray.data.Dataset, *, concurrency=None,
+                    batch_size: int = 2048,
+                    compute: str = "tasks") -> ray.data.Dataset:
+    """docs must carry ``doc_id`` and ``text`` columns.
+
+    ``compute="tasks"`` (default): process-cached stateless tasks.
+    ``compute="actors"``: explicit actor pool — the shape to use when
+    per-actor state is heavy (a real NER model, a multi-GB gazetteer);
+    default pool size caps at half the session CPUs so other stages
+    keep running."""
+    if compute == "actors":
+        if concurrency is None:
+            import ray as _ray
+            n = int(_ray.cluster_resources().get("CPU", 8)) \
+                if _ray.is_initialized() else 8
+            concurrency = (max(1, n // 4), max(2, n // 2))
+        return docs.map_batches(
+            MentionDetector,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return docs.map_batches(
-        MentionDetector,
+        _detect_batch_task,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
     )
