@@ -29,9 +29,8 @@ def _registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
 
     reg: dict[str, tuple[Callable[[str], Any], str | None]] = {}
     reg.update(kg_queries.REGISTRY)
-    for mod_name in ("relational_queries", "text_queries", "dedup_queries",
-                     "similarity_queries", "holdout_queries",
-                     "multimodal_queries"):
+    for mod_name in ("relational_queries", "textops", "dedup_ops",
+                     "similarity", "holdouts", "multimodal"):
         try:
             import importlib
             mod = importlib.import_module(

@@ -1,0 +1,336 @@
+"""Deduplication suite over the documents table (training-data
+pipeline): exact hash dedup, blocked n-gram-Jaccard near-dup, MinHash
+LSH, SimHash.
+
+Distributed shapes (ray_guide "Aggregation at scale" / SURVEY §2.6):
+
+- exact: content-hash per batch -> partial (min, count) combine ->
+  small groupby;
+- jaccard: BLOCKED all-pairs — group by a blocking key (source), pairs
+  only within a block, token sets encoded as uint64 bitmasks so the
+  pairwise loop is numpy popcount, not Python sets;
+- minhash: signature per batch (vectorized) -> explode to
+  (band, band_hash, doc) rows -> bucket groupby -> candidate pairs ->
+  exact-Jaccard verification;
+- simhash: 64-bit signature -> pigeonhole blocking on 4 x 16-bit
+  segments -> hamming verification.
+
+All randomness is seeded constants (hash mixing parameters), so results
+are deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """One row per distinct text: fingerprint, the kept (minimum) doc_id
+    — the engine's deterministic 'first' (D1 analog) — and the
+    duplicate count."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        fp = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"]]
+        g = pd.DataFrame({"fp": fp, "doc_id": batch["doc_id"]}) \
+            .groupby("fp", sort=False)["doc_id"].agg(["min", "count"]) \
+            .reset_index()
+        return g.rename(columns={"min": "keep_doc_id", "count": "n_docs"})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("fp").aggregate(
+        Min("keep_doc_id", alias_name="keep_doc_id"),
+        Sum("n_docs", alias_name="n_docs"),
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+FROM documents GROUP BY md5(text)
+"""
+
+# ------------------------------------------------- blocked jaccard top-k
+
+JACCARD_TOPK = 50
+
+
+def _token_bitmasks(token_lists: list[list[str]]):
+    """Encode each doc's DISTINCT token set as a row of uint64 bitmask
+    words over the group-local vocabulary."""
+    vocab: dict[str, int] = {}
+    for toks in token_lists:
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = len(vocab)
+    words = (len(vocab) + 63) // 64
+    masks = np.zeros((len(token_lists), max(words, 1)), dtype=np.uint64)
+    for i, toks in enumerate(token_lists):
+        for t in set(toks):
+            j = vocab[t]
+            masks[i, j >> 6] |= np.uint64(1) << np.uint64(j & 63)
+    return masks
+
+
+_POPCNT = np.array([bin(i).count("1") for i in range(65536)],
+                   dtype=np.uint16)
+
+
+def _popcount_rows(x: np.ndarray) -> np.ndarray:
+    v = x.view(np.uint16)
+    return _POPCNT[v].reshape(x.shape[0], -1).sum(axis=1).astype(np.int64)
+
+
+def jaccard_topk_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Top-K most-similar document pairs by token-set Jaccard, blocked
+    on ``source`` (pairs across blocks are never compared — the
+    documented blocking assumption; at web scale the blocking key is a
+    cheap cluster id such as an LSH band or a length bucket)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        toks = [t.split(" ") for t in g["text"]]
+        masks = _token_bitmasks(toks)
+        sizes = _popcount_rows(masks)
+        ids = g["doc_id"].to_numpy()
+        rows_a, rows_b, jac = [], [], []
+        for i in range(len(g) - 1):
+            inter = _popcount_rows(masks[i + 1:] & masks[i])
+            union = sizes[i + 1:] + sizes[i] - inter
+            jj = inter / np.maximum(union, 1)
+            keep = jj > 0.0
+            rows_a.append(np.full(keep.sum(), ids[i]))
+            rows_b.append(ids[i + 1:][keep])
+            jac.append(jj[keep])
+        if not rows_a:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        out = pd.DataFrame({
+            "doc_a": np.concatenate(rows_a).astype(np.int64),
+            "doc_b": np.concatenate(rows_b).astype(np.int64),
+            "jaccard": np.concatenate(jac),
+        })
+        out["jaccard"] = np.floor(out["jaccard"] * 1e6 + 0.5) / 1e6
+        # per-block pre-top-K (combiner): global top-K is a subset
+        return out.sort_values(["jaccard", "doc_a", "doc_b"],
+                               ascending=[False, True, True]) \
+                  .head(JACCARD_TOPK)
+
+    pairs = ds.groupby("source").map_groups(pairs_in_block,
+                                            batch_format="pandas")
+    return pairs.sort(["jaccard", "doc_a", "doc_b"],
+                      descending=[True, False, False]).limit(JACCARD_TOPK)
+
+
+JACCARD_TOPK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           list_distinct(string_split(text, ' ')) AS tk
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(length(list_intersect(a.tk, b.tk))::DOUBLE
+             / greatest(length(list_distinct(list_concat(a.tk, b.tk))), 1), 6)
+           AS jaccard
+FROM toks a JOIN toks b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE length(list_intersect(a.tk, b.tk)) > 0
+ORDER BY jaccard DESC, doc_a, doc_b
+LIMIT {JACCARD_TOPK}
+"""
+
+# ------------------------------------------------------------ minhash LSH
+
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16  # 16 bands x 4 rows
+MINHASH_ROWS = MINHASH_PERMS // MINHASH_BANDS
+MINHASH_THRESHOLD = 0.8
+SHINGLE_W = 3
+
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_MH_A = _rng.randint(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
+_MH_B = _rng.randint(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
+
+
+def _shingles(text: str, w: int = SHINGLE_W) -> set[int]:
+    toks = text.split(" ")
+    if len(toks) < w:
+        return {zlib.crc32(text.encode())}
+    return {zlib.crc32(" ".join(toks[i:i + w]).encode())
+            for i in range(len(toks) - w + 1)}
+
+
+def _minhash_signature(sh: set[int]) -> np.ndarray:
+    x = np.fromiter(sh, dtype=np.int64, count=len(sh))
+    # h_i(x) = (a_i * x + b_i) mod p, row-min over shingles
+    vals = (np.multiply.outer(_MH_A, x) + _MH_B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation parameters are per-actor state;
+    emits (band, band_hash, doc_id) rows per document."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out_band, out_hash, out_doc = [], [], []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            sig = _minhash_signature(_shingles(text))
+            for b in range(MINHASH_BANDS):
+                seg = sig[b * MINHASH_ROWS:(b + 1) * MINHASH_ROWS]
+                out_band.append(b)
+                out_hash.append(zlib.crc32(seg.tobytes()))
+                out_doc.append(doc_id)
+        return pd.DataFrame({"band": np.array(out_band, dtype=np.int32),
+                             "band_hash": np.array(out_hash, dtype=np.int64),
+                             "doc_id": np.array(out_doc, dtype=np.int64)})
+
+
+def minhash_near_dups(sf_dir: str,
+                      threshold: float = MINHASH_THRESHOLD) -> ray.data.Dataset:
+    """MinHash+LSH near-duplicate pairs, verified with exact shingle
+    Jaccard >= threshold. Candidate generation is the canonical
+    shingle -> minhash -> band -> bucket-groupby dataflow; verification
+    broadcasts the doc->text map (small corpus) — at web scale replace
+    the broadcast with two hash joins of the candidate pairs against
+    the documents table (doc_a, then doc_b)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    bands = ds.map_batches(MinHasher, batch_format="pandas",
+                           concurrency=(1, 8), num_cpus=1)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    from kg_covid_19_ray.stages.dedup import distinct
+    cand = distinct(cand, ["doc_a", "doc_b"])
+
+    texts_t = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    text_ref = ray.put(dict(zip(texts_t["doc_id"].to_pylist(),
+                                texts_t["text"].to_pylist())))
+
+    class Verifier:
+        def __init__(self, ref):
+            self.texts = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            jac = np.empty(len(batch))
+            for i, (a, b) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
+                sa, sb = _shingles(self.texts[a]), _shingles(self.texts[b])
+                jac[i] = len(sa & sb) / max(len(sa | sb), 1)
+            batch = batch.copy()
+            batch["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
+            return batch[batch["jaccard"] >= threshold]
+
+    return cand.map_batches(Verifier, batch_format="pandas",
+                            concurrency=(1, 4), num_cpus=1,
+                            fn_constructor_args=(text_ref,))
+
+# --------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 64
+SIMHASH_SEGMENTS = 4  # pigeonhole blocking for hamming <= 3
+SIMHASH_MAX_HAMMING = 3
+
+
+_SHIFTS = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+
+def _token_bits(tok: str, cache: dict[str, np.ndarray]) -> np.ndarray:
+    """+1/-1 bit vector for one token (md5-derived), memoized: corpora
+    share a small vocabulary, so each distinct token hashes once."""
+    v = cache.get(tok)
+    if v is None:
+        h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                                     "big"))
+        bits = ((h >> _SHIFTS) & np.uint64(1)).astype(np.int64)
+        v = np.where(bits == 1, 1, -1).astype(np.int64)
+        cache[tok] = v
+    return v
+
+
+def simhash64(text: str, cache: dict[str, np.ndarray] | None = None) -> int:
+    """64-bit SimHash over the token multiset (md5-derived token bits)."""
+    if cache is None:
+        cache = {}
+    acc = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    for tok in text.split(" "):
+        acc += _token_bits(tok, cache)
+    weights = (np.uint64(1) << _SHIFTS)
+    return int(((acc > 0).astype(np.uint64) * weights).sum())
+
+
+def simhash_near_dups(sf_dir: str) -> ray.data.Dataset:
+    """SimHash near-dup pairs with hamming distance <= 3: 4-segment
+    pigeonhole blocking (any pair within distance 3 agrees on >= 1 of 4
+    16-bit segments) then exact hamming verification."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        cache: dict[str, np.ndarray] = {}
+        hs = np.array([simhash64(t, cache) for t in batch["text"]],
+                      dtype=np.uint64)
+        rows = []
+        for s in range(SIMHASH_SEGMENTS):
+            seg = (hs >> np.uint64(16 * s)) & np.uint64(0xFFFF)
+            rows.append(pd.DataFrame({
+                "segment": np.int32(s),
+                "seg_val": seg.astype(np.int64),
+                "doc_id": batch["doc_id"].to_numpy(),
+                "sig": hs.astype(np.int64),
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+    exploded = ds.map_batches(sig, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        ids = g["doc_id"].to_numpy()
+        sigs = g["sig"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = sigs[ia] ^ sigs[ib]
+        ham = _popcount_rows(x.reshape(-1, 1))
+        keep = ham <= SIMHASH_MAX_HAMMING
+        return pd.DataFrame({"doc_a": ids[ia][keep].astype(np.int64),
+                             "doc_b": ids[ib][keep].astype(np.int64),
+                             "hamming": ham[keep]})
+
+    pairs = exploded.groupby(["segment", "seg_val"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    from kg_covid_19_ray.stages.dedup import first_wins
+    # a qualifying pair can match in several segments: dedup keeps one
+    return first_wins(pairs, ["doc_a", "doc_b"], "hamming")
+
+
+REGISTRY = {
+    "dedup_exact": (exact_dedup, EXACT_DEDUP_SQL),
+    "dedup_jaccard_topk": (jaccard_topk_pairs, JACCARD_TOPK_SQL),
+    "dedup_minhash": (minhash_near_dups, None),  # non-SQL: LSH dataflow
+    "dedup_simhash": (simhash_near_dups, None),  # non-SQL: bitwise sketch
+}

@@ -1,0 +1,288 @@
+"""Similarity search over the embeddings table (training-data pipeline
+suite): brute-force cosine top-k ANN, LSH-bucketed ANN, and
+embedding-cosine near-duplicate pairs.
+
+Distributed shapes:
+
+- brute-force: the QUERY matrix is tiny and broadcast once via
+  ``ray.put``; each batch of database vectors does one float64 matmul
+  against it and emits a per-batch partial top-k per query (combiner),
+  so the final exact reduce sees at most ``k x num_blocks`` candidate
+  rows per query instead of the full table;
+- LSH: seeded random-hyperplane signatures (L tables x b bits) emitted
+  per vector, bucket groupby brings query and database vectors that
+  collide in any table together, exact cosine re-rank inside the
+  bucket — the scale path when the database no longer fits a matmul
+  sweep per batch;
+- near-dup pairs: the whole (small) embedding matrix is broadcast and
+  each batch computes its rows-vs-all similarity block; at web scale
+  the broadcast side becomes the LSH bucket join above.
+
+All projections/permutations are seeded constants — deterministic at
+any parallelism. Cosines are computed in float64 and rounded
+half-away-from-zero to 6 digits to match the DuckDB oracle
+(``list_cosine_similarity`` over ``::DOUBLE[]`` casts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+
+ANN_K = 10
+ANN_NUM_QUERIES = 16  # queries = vec_id < ANN_NUM_QUERIES
+PAIR_TOPK = 50
+
+LSH_TABLES = 8
+LSH_BITS = 6  # 2^6 buckets per table
+
+
+def _round6(arr: np.ndarray) -> np.ndarray:
+    return np.floor(np.abs(arr) * 1e6 + 0.5) / 1e6 * np.sign(arr)
+
+
+def _read_embeddings(sf_dir: str, **kw) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"], **kw)
+
+
+def _matrix(batch: pd.DataFrame) -> np.ndarray:
+    return np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+
+
+def _cosine_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise cosine between rows of a (n,d) and b (m,d), float64."""
+    an = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-300)
+    bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
+    return an @ bn.T
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", ANN_NUM_QUERIES)])
+    t = t.sort_by("vec_id")
+    q_ids = t["vec_id"].to_numpy()
+    q_mat = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t["embedding"].to_pylist()])
+    return q_ids, q_mat
+
+
+class _BruteForceScorer:
+    """Actor-pool stage: normalized query matrix built once per actor
+    from the broadcast ref; each batch emits its local top-k rows per
+    query (partial top-k combiner)."""
+
+    def __init__(self, query_ref, k: int):
+        self.q_ids, q_mat = ray.get(query_ref)
+        self.qn = q_mat / np.maximum(
+            np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _matrix(batch)
+        ids = batch["vec_id"].to_numpy()
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-300)
+        cos = self.qn @ mn.T  # (Q, n)
+        out_q, out_n, out_c = [], [], []
+        for qi, q_id in enumerate(self.q_ids):
+            mask = ids != q_id  # exclude self-match
+            # round BEFORE the cut so the partial order equals the final
+            # (rounded cos desc, n_id asc) total order -> union-safe top-k
+            c, nid = _round6(cos[qi][mask]), ids[mask]
+            if len(c) == 0:
+                continue
+            k = min(self.k, len(c))
+            top = np.lexsort((nid, -c))[:k]
+            out_q.append(np.full(k, q_id))
+            out_n.append(nid[top])
+            out_c.append(c[top])
+        if not out_q:
+            return pd.DataFrame({"q_id": pd.Series([], dtype=np.int64),
+                                 "n_id": pd.Series([], dtype=np.int64),
+                                 "cos": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"q_id": np.concatenate(out_q).astype(np.int64),
+                             "n_id": np.concatenate(out_n).astype(np.int64),
+                             "cos": np.concatenate(out_c)})
+
+
+def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = g.copy()
+    g["cos"] = _round6(g["cos"].to_numpy())
+    return g.sort_values(["cos", "n_id"], ascending=[False, True],
+                         kind="mergesort").head(k)
+
+
+def ann_bruteforce(sf_dir: str) -> ray.data.Dataset:
+    """Exact cosine top-k neighbors for the first ANN_NUM_QUERIES
+    vectors against the whole table (self excluded). Broadcast queries
+    + per-batch matmul + partial top-k, final per-query reduce."""
+    query_ref = ray.put(_load_queries(sf_dir))
+    partials = _read_embeddings(sf_dir).map_batches(
+        _BruteForceScorer, batch_format="pandas",
+        concurrency=(1, 8), num_cpus=1,
+        fn_constructor_args=(query_ref, ANN_K))
+    return partials.groupby("q_id").map_groups(
+        lambda g: _final_topk(g, ANN_K), batch_format="pandas")
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+    FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+)
+SELECT q_id, e.vec_id AS n_id,
+       round(list_cosine_similarity(q_emb, e.embedding::DOUBLE[]), 6) AS cos
+FROM q CROSS JOIN embeddings e
+WHERE e.vec_id <> q.q_id
+QUALIFY row_number() OVER (
+    PARTITION BY q_id
+    ORDER BY round(list_cosine_similarity(q_emb, e.embedding::DOUBLE[]), 6)
+             DESC, e.vec_id) <= {ANN_K}
+"""
+
+# ------------------------------------------------------------------ LSH
+
+_rng = np.random.RandomState(7)
+_LSH_PLANES: np.ndarray | None = None
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    global _LSH_PLANES
+    if _LSH_PLANES is None or _LSH_PLANES.shape[2] != dim:
+        rng = np.random.RandomState(7)
+        _LSH_PLANES = rng.standard_normal((LSH_TABLES, LSH_BITS, dim))
+    return _LSH_PLANES
+
+
+def _signatures(mat: np.ndarray) -> np.ndarray:
+    """(n, LSH_TABLES) int64 bucket ids from random-hyperplane signs."""
+    planes = _lsh_planes(mat.shape[1])
+    weights = (1 << np.arange(LSH_BITS)).astype(np.int64)
+    sigs = np.empty((mat.shape[0], LSH_TABLES), dtype=np.int64)
+    for t in range(LSH_TABLES):
+        bits = (mat @ planes[t].T) > 0  # (n, LSH_BITS)
+        sigs[:, t] = bits.astype(np.int64) @ weights
+    return sigs
+
+
+def ann_lsh(sf_dir: str) -> ray.data.Dataset:
+    """LSH-bucketed approximate top-k: vectors hashed into
+    LSH_TABLES x 2^LSH_BITS buckets; a query's candidates are all
+    vectors sharing any bucket; exact cosine re-rank of candidates.
+    Recall < 1 by design — the scale path when brute force can't sweep.
+    Non-SQL (rows-only driver check); tests measure recall against
+    ann_bruteforce."""
+    query_ref = ray.put(_load_queries(sf_dir))
+
+    def emit_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _matrix(batch)
+        sigs = _signatures(mat)
+        n = len(batch)
+        return pd.DataFrame({
+            "table_id": np.repeat(np.arange(LSH_TABLES, dtype=np.int32), n),
+            "bucket": sigs.T.reshape(-1),
+            "vec_id": np.tile(batch["vec_id"].to_numpy(), LSH_TABLES),
+            "embedding": list(batch["embedding"]) * LSH_TABLES,
+        })
+
+    buckets = _read_embeddings(sf_dir).map_batches(
+        emit_buckets, batch_format="pandas")
+
+    def bucket_scorer(g: pd.DataFrame) -> pd.DataFrame:
+        """Re-rank inside one (table, bucket) group: pairs (query in
+        bucket) x (member of bucket). ray.get of the broadcast ref is a
+        zero-copy local read after the first call on a worker."""
+        q_ids_all, _q_mat = ray.get(query_ref)
+        ids = g["vec_id"].to_numpy()
+        q_mask = np.isin(ids, q_ids_all)
+        if not q_mask.any():
+            return pd.DataFrame({"q_id": pd.Series([], dtype=np.int64),
+                                 "n_id": pd.Series([], dtype=np.int64),
+                                 "cos": pd.Series([], dtype=np.float64)})
+        mat = _matrix(g)
+        cos = _cosine_block(mat[q_mask], mat)
+        qi, ni = np.nonzero(np.ones_like(cos, dtype=bool))
+        q_ids = ids[q_mask][qi]
+        n_ids = ids[ni]
+        keep = q_ids != n_ids
+        return pd.DataFrame({"q_id": q_ids[keep].astype(np.int64),
+                             "n_id": n_ids[keep].astype(np.int64),
+                             "cos": cos[qi, ni][keep]})
+
+    cand = buckets.groupby(["table_id", "bucket"]).map_groups(
+        bucket_scorer, batch_format="pandas")
+
+    def dedup_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("n_id")
+        return _final_topk(g, ANN_K)
+
+    return cand.groupby("q_id").map_groups(dedup_topk, batch_format="pandas")
+
+
+# -------------------------------------------------- embedding near-dups
+
+
+def embedding_pair_topk(sf_dir: str) -> ray.data.Dataset:
+    """Top-PAIR_TOPK most-cosine-similar vector pairs (vec_a < vec_b):
+    the embedding-cosine near-duplicate detector. The full matrix is
+    broadcast (small side); each batch computes its rows-vs-all block
+    and keeps a partial top-k, final global sort+limit."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    all_ids = t["vec_id"].to_numpy()
+    all_mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in t["embedding"].to_pylist()])
+    all_ref = ray.put((all_ids, all_mat))
+
+    class PairScorer:
+        def __init__(self, ref):
+            self.all_ids, mat = ray.get(ref)
+            self.all_n = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _matrix(batch)
+            ids = batch["vec_id"].to_numpy()
+            mn = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+            cos = mn @ self.all_n.T  # (batch, all)
+            # keep ordered pairs a < b only (each pair scored once globally)
+            bi, ai = np.nonzero(ids[:, None] < self.all_ids[None, :])
+            vec_a = ids[bi]
+            vec_b = self.all_ids[ai]
+            c = _round6(cos[bi, ai])  # round before the cut (union-safe)
+            if len(c) > PAIR_TOPK:
+                top = np.lexsort((vec_b, vec_a, -c))[:PAIR_TOPK]
+                vec_a, vec_b, c = vec_a[top], vec_b[top], c[top]
+            return pd.DataFrame({"vec_a": vec_a.astype(np.int64),
+                                 "vec_b": vec_b.astype(np.int64),
+                                 "cos": c})
+
+    partials = _read_embeddings(sf_dir).map_batches(
+        PairScorer, batch_format="pandas", concurrency=(1, 8), num_cpus=1,
+        fn_constructor_args=(all_ref,))
+    return partials.sort(["cos", "vec_a", "vec_b"],
+                         descending=[True, False, False]).limit(PAIR_TOPK)
+
+
+EMBEDDING_PAIR_TOPK_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos DESC, vec_a, vec_b
+LIMIT {PAIR_TOPK}
+"""
+
+
+REGISTRY = {
+    "ann_bruteforce": (ann_bruteforce, ANN_BRUTEFORCE_SQL),
+    "ann_lsh": (ann_lsh, None),  # approximate: rows-only driver check
+    "embedding_pair_topk": (embedding_pair_topk, EMBEDDING_PAIR_TOPK_SQL),
+}

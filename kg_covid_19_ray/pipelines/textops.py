@@ -1,0 +1,179 @@
+"""Text-analysis operators over the documents table (training-data
+pipeline suite): token counting, quality scoring, language ID,
+document fingerprinting.
+
+All stages are vectorized ``map_batches`` transforms (numpy / pandas
+string kernels); language ID keeps its marker tables as stage state.
+Rounding uses half-away-from-zero to match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+STOPWORDS = ("the", "a")
+
+# marker-word profiles for the language-ID heuristic; tie-break order is
+# the tuple order (en > de > es > fr), ties with zero evidence -> 'und'
+LANG_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "a", "and", "of")),
+    ("de", ("der", "die", "das", "und")),
+    ("es", ("el", "los", "las", "y")),
+    ("fr", ("le", "les", "des", "et")),
+)
+
+
+def _round_half_away(arr: np.ndarray, ndigits: int) -> np.ndarray:
+    scale = 10.0 ** ndigits
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
+def _tokens(series: pd.Series) -> pd.Series:
+    return series.str.split(" ")
+
+
+def text_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document token count, stopword ratio, average token length,
+    and a bounded quality score (length x non-stopword density)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+        n_chars = batch["text"].str.len().to_numpy(dtype=np.int64)
+        stop = set(STOPWORDS)
+        n_stop = np.fromiter(
+            (sum(1 for t in ts if t in stop) for ts in toks),
+            dtype=np.int64, count=len(toks))
+        safe_tokens = np.maximum(n_tokens, 1)
+        stop_ratio = n_stop / safe_tokens
+        # tokens are single-space-joined: total token chars = len - (n-1)
+        avg_token_len = (n_chars - (n_tokens - 1)) / safe_tokens
+        quality = np.minimum(n_tokens, 100) / 100.0 * (1.0 - stop_ratio)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "n_chars_text": n_chars,
+            "stop_ratio": _round_half_away(stop_ratio, 6),
+            "avg_token_len": _round_half_away(avg_token_len, 6),
+            "quality": _round_half_away(quality, 6),
+        })
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       length(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_text,
+       round(length(list_filter(string_split(text, ' '),
+                    x -> x IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}')))
+             / greatest(length(string_split(text, ' ')), 1)::DOUBLE, 6)
+           AS stop_ratio,
+       round((length(text) - (length(string_split(text, ' ')) - 1))
+             / greatest(length(string_split(text, ' ')), 1)::DOUBLE, 6)
+           AS avg_token_len,
+       round(least(length(string_split(text, ' ')), 100) / 100.0
+             * (1.0 - length(list_filter(string_split(text, ' '),
+                             x -> x IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}')))
+               / greatest(length(string_split(text, ' ')), 1)::DOUBLE), 6)
+           AS quality
+FROM documents
+"""
+
+
+class LangId:
+    """Marker-word language identifier. Actor-pool-shaped stage: marker
+    sets are built once per worker; scoring is per-batch vectorized.
+    Prediction = argmax marker count, ties broken by LANG_MARKERS order,
+    zero evidence -> 'und'."""
+
+    def __init__(self):
+        self.langs = [lang for lang, _ in LANG_MARKERS]
+        self.marker_sets = [frozenset(ms) for _, ms in LANG_MARKERS]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        counts = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
+        for j, ms in enumerate(self.marker_sets):
+            counts[:, j] = [sum(1 for t in ts if t in ms) for ts in toks]
+        best = counts.argmax(axis=1)  # first max wins = tuple order
+        pred = np.where(counts.max(axis=1) > 0,
+                        np.array(self.langs)[best], "und")
+        return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
+
+
+def text_langid(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas",
+                          concurrency=(1, 4), num_cpus=1)
+
+
+def _marker_count_sql(markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return (f"length(list_filter(string_split(text, ' '), "
+            f"x -> x IN ({in_list})))")
+
+
+TEXT_LANGID_SQL = """
+SELECT doc_id,
+       CASE
+         WHEN en_c = 0 AND de_c = 0 AND es_c = 0 AND fr_c = 0 THEN 'und'
+         WHEN en_c >= de_c AND en_c >= es_c AND en_c >= fr_c THEN 'en'
+         WHEN de_c >= es_c AND de_c >= fr_c THEN 'de'
+         WHEN es_c >= fr_c THEN 'es'
+         ELSE 'fr'
+       END AS pred_lang
+FROM (
+    SELECT doc_id,
+           {en} AS en_c, {de} AS de_c, {es} AS es_c, {fr} AS fr_c
+    FROM documents
+)
+""".format(**{lang: _marker_count_sql(ms) for lang, ms in LANG_MARKERS})
+
+
+def md5_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Exact content fingerprint per document (md5 of the text bytes)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "fp": [hashlib.md5(t.encode()).hexdigest()
+                   for t in batch["text"]],
+        })
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+MD5_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+_ROLLING_BASE = 1_000_003
+_ROLLING_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str) -> int:
+    """Polynomial rolling hash over the token stream (library function;
+    the window-free whole-document variant). Used by dedup tooling when
+    a cheap non-cryptographic fingerprint suffices."""
+    h = 0
+    for tok in text.split(" "):
+        for b in tok.encode():
+            h = (h * _ROLLING_BASE + b) % _ROLLING_MOD
+        h = (h * _ROLLING_BASE + 0x1F) % _ROLLING_MOD
+    return h
+
+
+REGISTRY = {
+    "text_stats": (text_stats, TEXT_STATS_SQL),
+    "text_langid": (text_langid, TEXT_LANGID_SQL),
+    "text_fingerprint": (md5_fingerprints, MD5_FINGERPRINTS_SQL),
+}

@@ -1,0 +1,136 @@
+"""Semantic tests for the training-data operator suites (textops,
+dedup_ops, similarity): planted near-duplicates must be found, sketches
+must be deterministic, the LSH ANN must recall exact-top-k neighbors
+for planted high-cosine vectors."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kg_covid_19_ray.pipelines import dedup_ops, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory) -> str:
+    """A tiny corpus with planted exact dups, near-dups and distinct
+    docs, plus embeddings with planted high-cosine neighbors."""
+    d = tmp_path_factory.mktemp("planted")
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight").split(" ")
+    docs = {
+        0: " ".join(base),
+        1: " ".join(base),                       # exact dup of 0
+        2: " ".join(base[:-1] + ["yesterday"]),  # near dup of 0
+        3: "completely different content about databases and queries",
+        4: "unrelated text mentioning graphs nodes edges and rays",
+    }
+    pd.DataFrame({
+        "doc_id": list(docs),
+        "text": list(docs.values()),
+        "lang": "en",
+        "source": "s0",
+        "n_chars": [len(t) for t in docs.values()],
+    }).to_parquet(os.path.join(d, "documents.parquet"))
+
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((20, 16)).astype(np.float32)
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16)  # ~1.0 cosine
+    vecs[2] = vecs[0] * 2.5                             # exactly 1.0
+    pd.DataFrame({
+        "vec_id": np.arange(20, dtype=np.int64),
+        "embedding": [v for v in vecs],
+        "label": np.zeros(20, dtype=np.int32),
+    }).to_parquet(os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_groups_planted_dup(ray_session, planted_dir):
+    out = dedup_ops.exact_dedup(planted_dir).to_pandas()
+    assert len(out) == 4  # 5 docs, one exact-dup pair
+    dup = out[out["n_docs"] == 2]
+    assert len(dup) == 1 and dup.iloc[0]["keep_doc_id"] == 0
+
+
+def test_minhash_finds_planted_near_dup(ray_session, planted_dir):
+    out = dedup_ops.minhash_near_dups(planted_dir, threshold=0.5).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs  # exact dup -> jaccard 1.0
+    assert (0, 2) in pairs and (1, 2) in pairs  # one-shingle change
+    assert all(a < b for a, b in pairs)
+    got = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)]["jaccard"].iloc[0]
+    assert got == 1.0
+
+
+def test_simhash_identical_docs_hamming_zero(ray_session, planted_dir):
+    out = dedup_ops.simhash_near_dups(planted_dir).to_pandas()
+    row = out[(out["doc_a"] == 0) & (out["doc_b"] == 1)]
+    assert len(row) == 1 and row.iloc[0]["hamming"] == 0
+    # each qualifying pair reported once despite multi-segment collisions
+    assert not out.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_simhash64_deterministic():
+    t = "alpha beta gamma delta"
+    assert dedup_ops.simhash64(t) == dedup_ops.simhash64(t, cache={})
+    assert 0 <= dedup_ops.simhash64(t) < (1 << 64)
+    # near doc differs in few bits, unrelated doc in many
+    near = dedup_ops.simhash64("alpha beta gamma epsilon")
+    far = dedup_ops.simhash64("totally unrelated words here now")
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(dedup_ops.simhash64(t), near) < ham(dedup_ops.simhash64(t), far)
+
+
+def test_rolling_fingerprint_deterministic():
+    assert (textops.rolling_fingerprint("a b c")
+            == textops.rolling_fingerprint("a b c"))
+    assert (textops.rolling_fingerprint("a b c")
+            != textops.rolling_fingerprint("a b d"))
+
+
+def test_ann_bruteforce_planted_neighbors(ray_session, planted_dir):
+    out = similarity.ann_bruteforce(planted_dir).to_pandas()
+    # 16 queries x up to k neighbors; planted: vec 1 & 2 top for query 0
+    q0 = out[out["q_id"] == 0].sort_values("cos", ascending=False)
+    assert set(q0.head(2)["n_id"]) == {1, 2}
+    assert q0.iloc[0]["cos"] >= 0.999
+    # symmetric: query 1's best neighbor is 0 or 2
+    q1 = out[out["q_id"] == 1].sort_values("cos", ascending=False)
+    assert q1.iloc[0]["n_id"] in (0, 2)
+
+
+def test_ann_lsh_recalls_planted_neighbors(ray_session, planted_dir):
+    """High-cosine vectors collide in nearly every random-hyperplane
+    table: the planted pair must be recalled."""
+    out = similarity.ann_lsh(planted_dir).to_pandas()
+    q0 = set(out[out["q_id"] == 0]["n_id"])
+    assert 1 in q0 and 2 in q0
+    assert not out.duplicated(["q_id", "n_id"]).any()
+
+
+def test_embedding_pair_topk_planted(ray_session, planted_dir):
+    out = similarity.embedding_pair_topk(planted_dir).to_pandas()
+    top = out.iloc[0]
+    assert (top["vec_a"], top["vec_b"]) in {(0, 1), (0, 2), (1, 2)}
+    assert top["cos"] >= 0.999
+    assert (out["cos"].is_monotonic_decreasing
+            or out["cos"].round(6).is_monotonic_decreasing)
+
+
+def test_langid_marker_tiebreak(ray_session, tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the cat and a dog of note",   # en
+                 "der hund und die katze",      # de
+                 "xyzzy plugh qwerty",          # no markers -> und
+                 "the der"],                    # tie en/de -> en (order)
+        "lang": "x", "source": "s0", "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = textops.text_langid(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")["pred_lang"]
+    assert out[0] == "en" and out[1] == "de"
+    assert out[2] == "und" and out[3] == "en"
