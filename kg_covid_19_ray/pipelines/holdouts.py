@@ -1,0 +1,177 @@
+"""Holdout / link-prediction dataset construction over the final KG
+edge table — the ``make_holdouts.py`` analog (reference
+make_holdouts.py:15-108,178-213,269-300; SURVEY §2 J1/J2/D4/D5/O2/O3).
+
+The reference's `random_holdout` + `sample_negative_graph` are
+replaced with DETERMINISTIC seeded-hash equivalents (md5 of the edge
+key), so the split is identical at any parallelism and reproducible in
+the DuckDB oracle:
+
+- split (O2/D5): edge goes to 'test' iff the first byte of
+  ``md5(subject|object)`` is below the test fraction;
+- negatives (J1/O3): candidate pairs = distinct subjects x broadcast
+  distinct objects, thinned by the same hash trick (never a
+  materialized cross join at scale — the object vocabulary is the
+  small broadcast side), then a native ``left_anti`` join against the
+  positive edges, ordered by hash, ``limit(n)``;
+- degree enrichment (J2): groupby counts hash-joined back onto edges;
+- pair-uniques (D4): ``drop_duplicates(keep=False)`` analog — mention
+  pairs kept only when their multiplicity is exactly 1.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from kg_covid_19_ray.pipelines.flagship import (
+    canonical_mentions,
+    extracted_docs,
+    mention_edges,
+)
+from kg_covid_19_ray.pipelines import kg_queries as kq
+from kg_covid_19_ray.sources import gazetteer as gz
+from kg_covid_19_ray.stages.mentions import detect_mentions
+from kg_covid_19_ray.stages.linking import link_mentions_batch
+
+TEST_HEX = "33"  # first md5 byte < 0x33 -> test (51/256 ~ 0.2)
+CAND_HEX = "80"  # candidate thinning: keep ~ half the cross space
+NEG_N = 100
+
+
+def _edges(sf_dir: str) -> ray.data.Dataset:
+    return mention_edges(canonical_mentions(sf_dir))
+
+
+def _md5_prefix(sub: pd.Series, obj: pd.Series) -> list[str]:
+    return [hashlib.md5(f"{s}|{o}".encode()).hexdigest()
+            for s, o in zip(sub, obj)]
+
+
+def holdout_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/test edge split (O2/D5 analog of
+    make_holdouts.py:289-300): seeded-hash assignment, no shuffle."""
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_prefix(batch["subject"], batch["object"])
+        return pd.DataFrame({
+            "subject": batch["subject"],
+            "object": batch["object"],
+            "split": np.where([x[:2] < TEST_HEX for x in h],
+                              "test", "train"),
+        })
+
+    return _edges(sf_dir).map_batches(tag, batch_format="pandas")
+
+
+HOLDOUT_SPLIT_SQL = kq._with(f"""
+SELECT subject, object,
+       CASE WHEN substr(md5(subject || '|' || object), 1, 2) < '{TEST_HEX}'
+            THEN 'test' ELSE 'train' END AS split
+FROM ({kq._EDGES_SELECT})
+""")
+
+
+def holdout_negatives(sf_dir: str) -> ray.data.Dataset:
+    """Negative-edge sampling (J1/O3 analog of
+    make_holdouts.py:184-213): hash-thinned candidates from
+    subjects x broadcast object vocabulary, left_anti vs positives,
+    hash-ordered limit. The anti-join is the only shuffle."""
+    edges = _edges(sf_dir)
+    objects = sorted({r["object"] for r in
+                      edges.groupby("object")
+                           .aggregate(Count(alias_name="n")).take_all()})
+    obj_ref = ray.put(objects)
+
+    subjects = edges.groupby("subject").aggregate(Count(alias_name="n")) \
+                    .select_columns(["subject"])
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        objs = ray.get(obj_ref)
+        subs = np.repeat(batch["subject"].to_numpy(), len(objs))
+        obs = np.tile(np.array(objs, dtype=object), len(batch))
+        h = _md5_prefix(pd.Series(subs), pd.Series(obs))
+        keep = np.array([x[:2] < CAND_HEX and s != o
+                         for x, s, o in zip(h, subs, obs)])
+        return pd.DataFrame({"subject": subs[keep], "object": obs[keep],
+                             "h": np.array(h, dtype=object)[keep]})
+
+    cand = subjects.map_batches(expand, batch_format="pandas")
+    neg = cand.join(edges.select_columns(["subject", "object"]),
+                    join_type="left_anti", num_partitions=4,
+                    on=("subject", "object"))
+    return neg.sort("h").limit(NEG_N).select_columns(["subject", "object"])
+
+
+HOLDOUT_NEGATIVES_SQL = kq._with(f"""
+WITH positives AS ({kq._EDGES_SELECT}),
+cand AS (
+    SELECT s.subject, o.object,
+           md5(s.subject || '|' || o.object) AS h
+    FROM (SELECT DISTINCT subject FROM positives) s
+    CROSS JOIN (SELECT DISTINCT object FROM positives) o
+    WHERE substr(md5(s.subject || '|' || o.object), 1, 2) < '{CAND_HEX}'
+      AND s.subject <> o.object
+)
+SELECT subject, object FROM cand
+WHERE NOT EXISTS (SELECT 1 FROM positives p
+                  WHERE p.subject = cand.subject
+                    AND p.object = cand.object)
+ORDER BY h LIMIT {NEG_N}
+""".replace("WITH positives", ", positives"))  # splice into the outer WITH
+
+
+def holdout_degrees(sf_dir: str) -> ray.data.Dataset:
+    """Degree enrichment (J2 analog of make_holdouts.py:269-286):
+    per-endpoint degree counts joined back onto the edge list."""
+    edges = _edges(sf_dir).select_columns(["subject", "object"])
+    sub_deg = edges.groupby("subject").aggregate(
+        Count(alias_name="subj_degree"))
+    obj_deg = edges.groupby("object").aggregate(
+        Count(alias_name="obj_degree"))
+    out = edges.join(sub_deg, join_type="inner", num_partitions=4,
+                     on=("subject",))
+    return out.join(obj_deg, join_type="inner", num_partitions=4,
+                    on=("object",))
+
+
+HOLDOUT_DEGREES_SQL = kq._with(f"""
+WITH e AS ({kq._EDGES_SELECT})
+SELECT e.subject, e.object, s.subj_degree, o.obj_degree
+FROM e
+JOIN (SELECT subject, count(*) AS subj_degree FROM e GROUP BY subject) s
+  USING (subject)
+JOIN (SELECT object, count(*) AS obj_degree FROM e GROUP BY object) o
+  USING (object)
+""".replace("WITH e AS", ", e AS"))
+
+
+def holdout_pair_uniques(sf_dir: str) -> ray.data.Dataset:
+    """D4 analog (make_holdouts.py:178-182,
+    drop_duplicates(keep=False)): raw mention (doc, curie) pairs kept
+    only if the pair occurs exactly once — both copies of any repeated
+    pair dropped."""
+    docs = extracted_docs(sf_dir)
+    m = detect_mentions(docs).map_batches(link_mentions_batch,
+                                          batch_format="pyarrow")
+    counts = m.groupby(["doc_id", "curie"]).aggregate(Count(alias_name="n"))
+    return counts.filter(expr="n == 1").select_columns(["doc_id", "curie"])
+
+
+HOLDOUT_PAIR_UNIQUES_SQL = kq._with("""
+SELECT doc_id, curie FROM mentions_raw
+GROUP BY doc_id, curie HAVING count(*) = 1
+""")
+
+
+REGISTRY = {
+    "holdout_split": (holdout_split, HOLDOUT_SPLIT_SQL),
+    "holdout_negatives": (holdout_negatives, HOLDOUT_NEGATIVES_SQL),
+    "holdout_degrees": (holdout_degrees, HOLDOUT_DEGREES_SQL),
+    "holdout_pair_uniques": (holdout_pair_uniques, HOLDOUT_PAIR_UNIQUES_SQL),
+}
