@@ -70,6 +70,66 @@ def q_kg_components(sf_dir: str):
     return connected_components(edges, num_partitions=2)
 
 
+COOCCUR_PREDICATE = "biolink:correlated_with"  # scibite_cord.py:327-340
+
+
+def q_kg_cooccurrence(sf_dir: str):
+    """Term-term co-occurrence edges (M6 pairwise exploder + D2 pair
+    dedup, scibite_cord.py:327-340 / intact.py:175-230 semantics): one
+    ``correlated_with`` edge per unordered pair of canonical terms
+    co-mentioned in a document, weighted by document count.
+
+    Pairwise explosion is block-local (a page's mentions live in one
+    block — same invariant as mention_edges); pair counts are
+    pre-aggregated per batch (combiner) so the shuffle moves one row
+    per distinct pair per block."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    m = canonical_mentions(sf_dir).select_columns(["doc_id", "curie"])
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _doc, g in batch.groupby("doc_id", sort=False):
+            cs = np.unique(g["curie"].to_numpy())
+            if len(cs) >= 2:
+                ia, ib = np.triu_indices(len(cs), k=1)
+                out_a.append(cs[ia])
+                out_b.append(cs[ib])
+        if not out_a:
+            return pd.DataFrame({"subject": pd.Series([], dtype=object),
+                                 "object": pd.Series([], dtype=object),
+                                 "n_docs": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({"subject": np.concatenate(out_a),
+                           "object": np.concatenate(out_b)})
+        return df.groupby(["subject", "object"], sort=False) \
+                 .size().rename("n_docs").reset_index()
+
+    counts = m.map_batches(pairs, batch_format="pandas", batch_size=None) \
+              .groupby(["subject", "object"]) \
+              .aggregate(Sum("n_docs", alias_name="n_docs"))
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["predicate"] = COOCCUR_PREDICATE
+        return batch[["subject", "predicate", "object", "n_docs"]]
+
+    return counts.map_batches(finalize, batch_format="pandas")
+
+
+_COOCCUR_SELECT = f"""
+SELECT a.curie AS subject,
+       '{COOCCUR_PREDICATE}' AS predicate,
+       b.curie AS object,
+       count(*) AS n_docs
+FROM (SELECT DISTINCT doc_id, curie FROM mentions) a
+JOIN (SELECT DISTINCT doc_id, curie FROM mentions) b
+  ON a.doc_id = b.doc_id AND a.curie < b.curie
+GROUP BY a.curie, b.curie
+"""
+
+
 def _with(select: str) -> str:
     return f"WITH RECURSIVE {gz.mentions_ctes()} {select}"
 
@@ -119,4 +179,5 @@ REGISTRY: dict = {
         q_kg_components,
         _with("SELECT member, canon FROM canon"),
     ),
+    "kg_cooccurrence": (q_kg_cooccurrence, _with(_COOCCUR_SELECT)),
 }

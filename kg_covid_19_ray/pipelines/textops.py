@@ -172,8 +172,42 @@ def rolling_fingerprint(text: str) -> int:
     return h
 
 
+TOKEN_FREQ_K = 100
+
+
+def token_freq(sf_dir: str) -> ray.data.Dataset:
+    """Top-K corpus token frequencies: the pipe-split/row-explode
+    operator (M5, drug_central.py:167-195 analog) fused with a partial
+    count combiner — the explode never leaves the batch; the shuffle
+    moves one row per distinct token per block."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = batch["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({"token": counts.index.to_numpy(),
+                             "n": counts.to_numpy(dtype=np.int64)})
+
+    totals = ds.map_batches(partial, batch_format="pandas") \
+               .groupby("token").aggregate(Sum("n", alias_name="n"))
+    return totals.sort(["n", "token"], descending=[True, False]) \
+                 .limit(TOKEN_FREQ_K)
+
+
+TOKEN_FREQ_SQL = f"""
+SELECT tok AS token, count(*) AS n
+FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+GROUP BY tok
+ORDER BY n DESC, token
+LIMIT {TOKEN_FREQ_K}
+"""
+
+
 REGISTRY = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": (md5_fingerprints, MD5_FINGERPRINTS_SQL),
+    "text_token_freq": (token_freq, TOKEN_FREQ_SQL),
 }

@@ -1,0 +1,124 @@
+"""IO-layer tests: KGX TSV sink (S8), N-Triples export/import
+roundtrip (S9/S7), obojson reader (S7)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from kg_covid_19_ray.io import kgx
+from kg_covid_19_ray.sources import rdf
+
+
+@pytest.fixture()
+def edges_ds(ray_session):
+    return ray.data.from_pandas(pd.DataFrame({
+        "subject": ["WEB:1", "WEB:2", "CHEBI:15377"],
+        "predicate": ["biolink:mentions"] * 2 + ["biolink:related_to"],
+        "object": ["GO:0008150", "CHEBI:15377", "GO:0008150"],
+        "relation": ["SIO:000255"] * 3,
+        "provided_by": ["web_pages"] * 3,
+    }))
+
+
+def test_write_kgx_tsv_parts_roundtrip(edges_ds, tmp_path):
+    out = str(tmp_path / "edges_tsv")
+    kgx.write_kgx_tsv(edges_ds, out)
+    files = glob.glob(os.path.join(out, "*"))
+    assert files
+    back = pd.concat([pd.read_csv(f, sep="\t", dtype=str) for f in files])
+    assert sorted(back.columns) == sorted(
+        ["subject", "predicate", "object", "relation", "provided_by"])
+    assert sorted(back["subject"]) == ["CHEBI:15377", "WEB:1", "WEB:2"]
+
+
+def test_write_kgx_tsv_single_exact_layout(ray_session, tmp_path):
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "id": ["B:2", "A:1"],
+        "name": ["beta", "alpha"],
+        "xrefs": [["X:1", "Y:2"], []],   # list col -> pipe-joined
+        "score": [1.5, 2.0],             # numeric -> stringified
+    }))
+    out = str(tmp_path / "nodes.tsv")
+    kgx.write_kgx_tsv_single(ds, out, sort_by=["id"])
+    lines = open(out).read().splitlines()
+    assert lines[0] == "id\tname\txrefs\tscore"
+    assert lines[1] == "A:1\talpha\t\t2"
+    assert lines[2] == "B:2\tbeta\tX:1|Y:2\t1.5"
+
+
+def test_expand_contract_inverse():
+    for c in ["CHEBI:15377", "biolink:mentions", "WEB:42", "SIO:000255",
+              "ODDPREFIX:abc", "GO:0008150", "wikidata:Q42"]:
+        assert rdf.contract_iri(kgx.expand_curie(c)) == c
+
+
+def test_ntriples_roundtrip(edges_ds, tmp_path):
+    out = str(tmp_path / "nt")
+    kgx.write_ntriples(edges_ds, out)
+    raw = "".join(open(f).read() for f in glob.glob(os.path.join(out, "*")))
+    assert "<https://example.org/web/1> <https://w3id.org/biolink/vocab/" \
+           "mentions> <http://purl.obolibrary.org/obo/GO_0008150> ." in raw
+    back = rdf.read_ntriples(out).to_pandas()
+    orig = edges_ds.to_pandas()
+    key = lambda df, cols: sorted(map(tuple, df[cols].to_numpy()))
+    cols = ["subject", "predicate", "object"]
+    assert key(back, cols) == key(orig, cols)
+    assert not back["is_literal"].any()
+
+
+def test_parse_ntriples_skips_garbage_and_reads_literals(ray_session):
+    batch = pa.table({"text": [
+        "# comment",
+        "",
+        '<https://example.org/web/1> <https://w3id.org/biolink/vocab/name> '
+        '"Doc One" .',
+    ]})
+    out = rdf.parse_ntriple_lines(batch)
+    assert out.num_rows == 1
+    assert out["subject"][0].as_py() == "WEB:1"
+    assert out["object"][0].as_py() == "Doc One"
+    assert out["is_literal"][0].as_py() is True
+
+
+def test_obojson_reader(ray_session, tmp_path):
+    doc = {"graphs": [{
+        "nodes": [
+            {"id": "http://purl.obolibrary.org/obo/GO_0008150",
+             "lbl": "biological_process"},
+            {"id": "http://purl.obolibrary.org/obo/CHEBI_15377",
+             "lbl": "water"},
+        ],
+        "edges": [
+            {"sub": "http://purl.obolibrary.org/obo/CHEBI_15377",
+             "pred": "is_a",
+             "obj": "http://purl.obolibrary.org/obo/GO_0008150"},
+        ],
+    }]}
+    p = tmp_path / "onto.json"
+    p.write_text(json.dumps(doc))
+    nodes = rdf.read_obojson_nodes(str(p)).to_pandas()
+    edges = rdf.read_obojson_edges(str(p)).to_pandas()
+    assert sorted(nodes["id"]) == ["CHEBI:15377", "GO:0008150"]
+    # reference category guess: GO -> OntologyClass, else NamedThing
+    cats = dict(zip(nodes["id"], nodes["category"]))
+    assert cats["GO:0008150"] == "biolink:OntologyClass"
+    assert cats["CHEBI:15377"] == "biolink:NamedThing"
+    assert edges.iloc[0]["subject"] == "CHEBI:15377"
+    assert edges.iloc[0]["object"] == "GO:0008150"
+
+
+def test_flagship_kg_export_end_to_end(ray_session, tmp_path):
+    """build_kg -> TSV + NT export -> NT reader recovers the edges."""
+    from kg_covid_19_ray.pipelines.flagship import build_kg
+    nodes, edges = build_kg("/root/testdata/sf0.001")
+    kgx.write_kgx_tsv(nodes, str(tmp_path / "nodes"))
+    kgx.write_ntriples(edges, str(tmp_path / "edges_nt"))
+    back = rdf.read_ntriples(str(tmp_path / "edges_nt"))
+    assert back.count() == edges.count()
