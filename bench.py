@@ -112,8 +112,14 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     except ImportError:
         pass
     try:
-        from kg_covid_19_ray.pipelines.similarity import knn_bruteforce
-        optional.append(("sim_knn", lambda: knn_bruteforce(sf_dir).count()))
+        from kg_covid_19_ray.pipelines.similarity import ann_bruteforce
+        optional.append(("sim_ann", lambda: ann_bruteforce(sf_dir).count()))
+    except ImportError:
+        pass
+    try:
+        from kg_covid_19_ray.pipelines.dedup_ops import exact_dedup
+        optional.append(
+            ("dedup_exact", lambda: exact_dedup(sf_dir).count()))
     except ImportError:
         pass
 
