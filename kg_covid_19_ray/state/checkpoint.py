@@ -85,7 +85,7 @@ def run_stage(
     """
     stage_dir = os.path.join(root, stage, fingerprint)
     if os.path.exists(_manifest_path(stage_dir)):
-        return ray.data.read_parquet(stage_dir)
+        return ray.data.read_parquet(stage_dir, file_extensions=["parquet"])
 
     t0 = time.time()
     ds = ds_factory()
@@ -124,4 +124,4 @@ def run_stage(
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
     os.replace(tmp, _manifest_path(stage_dir))  # commit point
-    return ray.data.read_parquet(stage_dir)
+    return ray.data.read_parquet(stage_dir, file_extensions=["parquet"])
