@@ -30,7 +30,7 @@ def _registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     reg: dict[str, tuple[Callable[[str], Any], str | None]] = {}
     reg.update(kg_queries.REGISTRY)
     for mod_name in ("relational_queries", "textops", "dedup_ops",
-                     "similarity", "holdouts", "multimodal"):
+                     "similarity", "holdouts", "multimodal", "windowed"):
         try:
             import importlib
             mod = importlib.import_module(

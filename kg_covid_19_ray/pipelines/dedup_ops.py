@@ -180,20 +180,54 @@ def _minhash_signature(sh: set[int]) -> np.ndarray:
 
 class MinHasher:
     """Actor-pool stage: permutation parameters are per-actor state;
-    emits (band, band_hash, doc_id) rows per document."""
+    emits (band, band_hash, doc_id) rows per document.
+
+    Vectorized batch-wide: each UNIQUE shingle in the batch is crc32'd
+    and permuted once (corpora repeat shingles heavily), per-doc
+    signatures are one ``minimum.reduceat`` over the shared hash
+    matrix — identical output to the per-doc definition."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_hash, out_doc = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = _minhash_signature(_shingles(text))
+        crc_cache: dict[str, int] = {}
+        doc_sh: list[np.ndarray] = []
+        for text in batch["text"]:
+            toks = text.split(" ")
+            if len(toks) < SHINGLE_W:
+                keys = (text,)
+            else:
+                keys = (" ".join(toks[i:i + SHINGLE_W])
+                        for i in range(len(toks) - SHINGLE_W + 1))
+            s = set()
+            for k in keys:
+                v = crc_cache.get(k)
+                if v is None:
+                    v = zlib.crc32(k.encode())
+                    crc_cache[k] = v
+                s.add(v)
+            doc_sh.append(np.fromiter(s, np.int64, len(s)))
+
+        uniq = np.unique(np.concatenate(doc_sh))
+        # hash every unique shingle once: (PERMS, U)
+        hmat = (_MH_A[:, None] * uniq[None, :] + _MH_B[:, None]) % _MERSENNE
+        idx = np.concatenate([np.searchsorted(uniq, s) for s in doc_sh])
+        lens = np.array([len(s) for s in doc_sh])
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sigs = np.minimum.reduceat(hmat[:, idx], offsets, axis=1)  # (P, n)
+
+        n = len(batch)
+        ids = batch["doc_id"].to_numpy()
+        out_hash = np.empty(n * MINHASH_BANDS, dtype=np.int64)
+        sig_t = np.ascontiguousarray(sigs.T)  # (n, PERMS)
+        for i in range(n):
+            row = sig_t[i]
             for b in range(MINHASH_BANDS):
-                seg = sig[b * MINHASH_ROWS:(b + 1) * MINHASH_ROWS]
-                out_band.append(b)
-                out_hash.append(zlib.crc32(seg.tobytes()))
-                out_doc.append(doc_id)
-        return pd.DataFrame({"band": np.array(out_band, dtype=np.int32),
-                             "band_hash": np.array(out_hash, dtype=np.int64),
-                             "doc_id": np.array(out_doc, dtype=np.int64)})
+                out_hash[i * MINHASH_BANDS + b] = zlib.crc32(
+                    row[b * MINHASH_ROWS:(b + 1) * MINHASH_ROWS].tobytes())
+        return pd.DataFrame({
+            "band": np.tile(np.arange(MINHASH_BANDS, dtype=np.int32), n),
+            "band_hash": out_hash,
+            "doc_id": np.repeat(ids, MINHASH_BANDS),
+        })
 
 
 def minhash_near_dups(sf_dir: str,
@@ -212,16 +246,43 @@ def minhash_near_dups(sf_dir: str,
     bands = ds.map_batches(MinHasher, batch_format="pandas",
                            concurrency=(1, 8), num_cpus=1)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+    # Route band rows into a FIXED number of hash buckets and emit all
+    # within-(band,band_hash) pairs with one vectorized pandas pass per
+    # bucket: groupby((band, band_hash)).map_groups would pay one
+    # Python call per LSH bucket (O(docs x bands) groups, nearly all
+    # singletons); this pays num_buckets calls total (stages/dedup
+    # bucketing rationale).
+    num_buckets = 64
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[["band", "band_hash"]],
+                                       index=False).to_numpy()
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
+        sizes = g.groupby(["band", "band_hash"], sort=False)["doc_id"] \
+                 .transform("size")
+        g = g[sizes >= 2].sort_values(["band", "band_hash", "doc_id"])
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            ids = grp["doc_id"].to_numpy()
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                                  "doc_b": pd.Series([], dtype=np.int64)})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+        }).drop_duplicates()
 
-    cand = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    cand = bands.map_batches(add_bucket, batch_format="pandas") \
+                .groupby("__bucket") \
+                .map_groups(pairs_in_bucket, batch_format="pandas")
     from kg_covid_19_ray.stages.dedup import distinct
     cand = distinct(cand, ["doc_a", "doc_b"])
 
@@ -233,11 +294,19 @@ def minhash_near_dups(sf_dir: str,
     class Verifier:
         def __init__(self, ref):
             self.texts = ray.get(ref)
+            self._sh: dict[int, set[int]] = {}  # per-actor shingle cache
+
+        def _shingle(self, doc_id: int) -> set[int]:
+            s = self._sh.get(doc_id)
+            if s is None:
+                s = _shingles(self.texts[doc_id])
+                self._sh[doc_id] = s
+            return s
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             jac = np.empty(len(batch))
             for i, (a, b) in enumerate(zip(batch["doc_a"], batch["doc_b"])):
-                sa, sb = _shingles(self.texts[a]), _shingles(self.texts[b])
+                sa, sb = self._shingle(a), self._shingle(b)
                 jac[i] = len(sa & sb) / max(len(sa | sb), 1)
             batch = batch.copy()
             batch["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
@@ -305,24 +374,46 @@ def simhash_near_dups(sf_dir: str) -> ray.data.Dataset:
 
     exploded = ds.map_batches(sig, batch_format="pandas")
 
+    # same fixed-bucket routing as minhash: one Python call per hash
+    # bucket, not per (segment, seg_val) pigeonhole
+    num_buckets = 64
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch[["segment", "seg_val"]],
+                                       index=False).to_numpy()
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
+        g = g.drop_duplicates(["segment", "seg_val", "doc_id"])
+        sizes = g.groupby(["segment", "seg_val"], sort=False)["doc_id"] \
+                 .transform("size")
+        g = g[sizes >= 2].sort_values(["segment", "seg_val", "doc_id"])
+        out_a, out_b, out_h = [], [], []
+        for _, grp in g.groupby(["segment", "seg_val"], sort=False):
+            ids = grp["doc_id"].to_numpy()
+            sigs = grp["sig"].to_numpy().astype(np.uint64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            x = sigs[ia] ^ sigs[ib]
+            ham = _popcount_rows(x.reshape(-1, 1))
+            keep = ham <= SIMHASH_MAX_HAMMING
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_h.append(ham[keep])
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                                  "doc_b": pd.Series([], dtype=np.int64),
                                  "hamming": pd.Series([], dtype=np.int64)})
-        ids = g["doc_id"].to_numpy()
-        sigs = g["sig"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = sigs[ia] ^ sigs[ib]
-        ham = _popcount_rows(x.reshape(-1, 1))
-        keep = ham <= SIMHASH_MAX_HAMMING
-        return pd.DataFrame({"doc_a": ids[ia][keep].astype(np.int64),
-                             "doc_b": ids[ib][keep].astype(np.int64),
-                             "hamming": ham[keep]})
+        return pd.DataFrame({
+            "doc_a": np.concatenate(out_a).astype(np.int64),
+            "doc_b": np.concatenate(out_b).astype(np.int64),
+            "hamming": np.concatenate(out_h).astype(np.int64),
+        })
 
-    pairs = exploded.groupby(["segment", "seg_val"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = exploded.map_batches(add_bucket, batch_format="pandas") \
+                    .groupby("__bucket") \
+                    .map_groups(bucket_pairs, batch_format="pandas")
     from kg_covid_19_ray.stages.dedup import first_wins
     # a qualifying pair can match in several segments: dedup keeps one
     return first_wins(pairs, ["doc_a", "doc_b"], "hamming")

@@ -1,0 +1,166 @@
+"""Temporal / windowed operators over the events table — custom
+operators Ray Data lacks natively (SURVEY §2.9 notes the reference has
+no streaming concepts; these are the batch-mode equivalents a
+training-data pipeline needs, composed from sort + groupby.map_groups
+per the custom-operator guidance):
+
+- gap-based SESSIONIZATION: events partition-sorted per user; a >30min
+  gap opens a new session. Partitioning assumption: one user's events
+  fit one group (true at any realistic user cardinality; a hot user is
+  bounded by their own event count, not corpus size);
+- AS-OF JOIN: each error event matched to the most recent prior-or-
+  equal click of the same user — per-user ``pandas.merge_asof`` inside
+  ``map_groups`` (both sides arrive time-sorted after the group sort);
+- JSON property aggregate: vectorized regex field extraction from the
+  ``props`` JSON column (M18-at-scale: no per-row json.loads).
+
+All outputs rounded half-even via SQL-compatible round(x, 6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+SESSION_GAP_MIN = 30
+
+
+def _read_events(sf_dir: str, cols: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+
+def sessions(sf_dir: str) -> ray.data.Dataset:
+    """Per-user gap sessions: (user_id, session_idx, n_events,
+    duration_sec, sum_value)."""
+    ds = _read_events(sf_dir, ["ts", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        sid = gap.cumsum().astype(np.int64)
+        agg = g.groupby(sid).agg(
+            start=("ts", "min"), end=("ts", "max"),
+            n_events=("ts", "size"), sum_value=("value", "sum"))
+        dur = (agg["end"] - agg["start"]).dt.total_seconds()
+        return pd.DataFrame({
+            "user_id": g["user_id"].iloc[0],
+            "session_idx": agg.index.to_numpy(),
+            "n_events": agg["n_events"].to_numpy(dtype=np.int64),
+            "duration_sec": np.round(dur.to_numpy(), 6),
+            "sum_value": np.round(agg["sum_value"].to_numpy(), 6),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SESSIONS_SQL = f"""
+WITH o AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+    SELECT user_id, ts, value,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+    FROM o
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       round(epoch(max(ts) - min(ts)), 6) AS duration_sec,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def asof_error_click(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: each error event paired with the same user's most
+    recent prior-or-equal click (event id + gap seconds; unmatched
+    errors keep nulls)."""
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    ds = ds.filter(expr="event_type == 'error' or event_type == 'click'")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        errors = g[g["event_type"] == "error"]
+        clicks = g[g["event_type"] == "click"]
+        if errors.empty:
+            return pd.DataFrame({
+                "error_event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "click_event_id": pd.Series([], dtype="Int64"),
+                "gap_sec": pd.Series([], dtype=np.float64)})
+        m = pd.merge_asof(
+            errors[["event_id", "ts"]],
+            clicks[["event_id", "ts"]].rename(
+                columns={"event_id": "click_event_id", "ts": "click_ts"}),
+            left_on="ts", right_on="click_ts", direction="backward")
+        gap = (m["ts"] - m["click_ts"]).dt.total_seconds()
+        return pd.DataFrame({
+            "error_event_id": m["event_id"].to_numpy(dtype=np.int64),
+            "user_id": g["user_id"].iloc[0],
+            "click_event_id": m["click_event_id"].astype("Int64"),
+            "gap_sec": np.round(gap.to_numpy(), 6),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+ASOF_ERROR_CLICK_SQL = """
+SELECT e.event_id AS error_event_id,
+       e.user_id,
+       c.event_id AS click_event_id,
+       round(epoch(e.ts - c.ts), 6) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+def props_avg(sf_dir: str) -> ray.data.Dataset:
+    """Average of the JSON ``props.k`` field per event_type —
+    vectorized regex extraction, partial (sum, count) combiner."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["event_type", "props"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r'"k": (\d+)', expand=False) \
+            .astype(np.float64)
+        g = pd.DataFrame({"event_type": batch["event_type"], "k": k}) \
+            .groupby("event_type", sort=False)["k"].agg(["sum", "count"])
+        return g.reset_index().rename(columns={"sum": "k_sum",
+                                               "count": "n"})
+
+    totals = ds.map_batches(partial, batch_format="pandas") \
+               .groupby("event_type").aggregate(
+                   Sum("k_sum", alias_name="k_sum"),
+                   Sum("n", alias_name="n"))
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "avg_k": np.round(batch["k_sum"] / batch["n"], 6),
+            "n": batch["n"].astype(np.int64),
+        })
+
+    return totals.map_batches(finalize, batch_format="pandas")
+
+
+PROPS_AVG_SQL = """
+SELECT event_type,
+       round(avg(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS DOUBLE)), 6)
+           AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+REGISTRY = {
+    "rel_sessions": (sessions, SESSIONS_SQL),
+    "rel_asof_error_click": (asof_error_click, ASOF_ERROR_CLICK_SQL),
+    "rel_props_avg": (props_avg, PROPS_AVG_SQL),
+}
