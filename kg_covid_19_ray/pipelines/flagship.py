@@ -199,13 +199,19 @@ def build_kg(source: str | ray.data.Dataset, *, sort_output: bool = False,
             fingerprint_for_path(src_key, "extract-v1"),
             lambda: extracted_docs(source), inputs=[src_key])
     elif share == "materialize":
-        docs = extracted_docs(source).materialize()
+        # project BEFORE pinning: downstream needs only (doc_id, title,
+        # text) — url/warc_ts/lang never leave this stage, so they
+        # shouldn't occupy object-store memory
+        docs = extracted_docs(source) \
+            .select_columns(["doc_id", "title", "text"]).materialize()
     else:
         docs = extracted_docs(source)
 
     mentions = canonical_mentions(docs)
     if materialize_mentions:
-        mentions = mentions.materialize()
+        # edge dedup needs (doc_id, curie); term dedup needs
+        # (curie, name, category, order_key) — `surface` is dead weight
+        mentions = mentions.drop_columns(["surface"]).materialize()
     edges = mention_edges(mentions)
     nodes = kg_nodes(docs, mentions=mentions)
     if sort_output:
