@@ -224,6 +224,94 @@ def ann_lsh(sf_dir: str) -> ray.data.Dataset:
     return cand.groupby("q_id").map_groups(dedup_topk, batch_format="pandas")
 
 
+# ------------------------------------------------------------------ IVF
+
+IVF_CELLS = 32
+IVF_PROBES = 4
+
+
+def ann_ivf(sf_dir: str) -> ray.data.Dataset:
+    """IVF-style approximate top-k: a seeded deterministic sample of
+    IVF_CELLS vectors acts as the coarse quantizer; every vector is
+    assigned to its nearest centroid cell; each query probes its
+    IVF_PROBES nearest cells and exact-reranks only vectors in those
+    cells. No shuffle at all: centroids + query probe-sets are
+    broadcast, assignment and reranking are per-batch matmuls, the
+    final per-query reduce sees <= k x blocks rows (same union-safe
+    rounded partial top-k as brute force).
+
+    At web scale the quantizer becomes a trained k-means loaded in the
+    actor ``__init__``; the dataflow is unchanged."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    n = t.num_rows
+    rng = np.random.RandomState(11)
+    cent_idx = np.sort(rng.choice(n, size=min(IVF_CELLS, n), replace=False))
+    cent = np.stack([np.asarray(t["embedding"][int(i)].as_py(),
+                                dtype=np.float64) for i in cent_idx])
+    cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                               1e-300)
+
+    q_ids, q_mat = _load_queries(sf_dir)
+    qn = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True),
+                            1e-300)
+    # per-query probed cells -> cell -> probing query rows
+    probe_rank = np.argsort(-(qn @ cent_n.T), axis=1, kind="stable")
+    probes = probe_rank[:, :min(IVF_PROBES, cent_n.shape[0])]
+    state_ref = ray.put((q_ids, qn, cent_n, probes))
+
+    class CellScorer:
+        def __init__(self, ref):
+            self.q_ids, self.qn, self.cent_n, probes = ray.get(ref)
+            ncell = self.cent_n.shape[0]
+            # cell -> indices of queries probing it
+            self.cell_queries = [np.nonzero((probes == c).any(axis=1))[0]
+                                 for c in range(ncell)]
+            self.k = ANN_K
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _matrix(batch)
+            ids = batch["vec_id"].to_numpy()
+            mn = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+            cells = np.argmax(mn @ self.cent_n.T, axis=1)
+            out_q, out_n, out_c = [], [], []
+            for c in np.unique(cells):
+                qi = self.cell_queries[c]
+                if len(qi) == 0:
+                    continue
+                sel = cells == c
+                cos = _round6(self.qn[qi] @ mn[sel].T)  # (q, m)
+                sel_ids = ids[sel]
+                for row, q_idx in enumerate(qi):
+                    q_id = self.q_ids[q_idx]
+                    mask = sel_ids != q_id
+                    c_v, nid = cos[row][mask], sel_ids[mask]
+                    if len(c_v) == 0:
+                        continue
+                    k = min(self.k, len(c_v))
+                    top = np.lexsort((nid, -c_v))[:k]
+                    out_q.append(np.full(k, q_id))
+                    out_n.append(nid[top])
+                    out_c.append(c_v[top])
+            if not out_q:
+                return pd.DataFrame({"q_id": pd.Series([], dtype=np.int64),
+                                     "n_id": pd.Series([], dtype=np.int64),
+                                     "cos": pd.Series([], dtype=np.float64)})
+            return pd.DataFrame({
+                "q_id": np.concatenate(out_q).astype(np.int64),
+                "n_id": np.concatenate(out_n).astype(np.int64),
+                "cos": np.concatenate(out_c)})
+
+    partials = _read_embeddings(sf_dir).map_batches(
+        CellScorer, batch_format="pandas", concurrency=(1, 8), num_cpus=1,
+        fn_constructor_args=(state_ref,))
+    return partials.groupby("q_id").map_groups(
+        lambda g: _final_topk(g, ANN_K), batch_format="pandas")
+
+
 # -------------------------------------------------- embedding near-dups
 
 
@@ -284,5 +372,6 @@ LIMIT {PAIR_TOPK}
 REGISTRY = {
     "ann_bruteforce": (ann_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_lsh": (ann_lsh, None),  # approximate: rows-only driver check
+    "ann_ivf": (ann_ivf, None),  # approximate: rows-only driver check
     "embedding_pair_topk": (embedding_pair_topk, EMBEDDING_PAIR_TOPK_SQL),
 }
