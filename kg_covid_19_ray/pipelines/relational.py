@@ -231,3 +231,88 @@ SELECT user_id, date_trunc('hour', ts) AS window_start,
 FROM events
 GROUP BY user_id, date_trunc('hour', ts)
 """
+
+
+def nation_year_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q5-flavored multi-join: lineitem ⨝ orders as a NATIVE
+    distributed hash join (both sides large at scale), then customer /
+    nation resolved via broadcast dicts (small dimensions), revenue
+    summed per (nation, order year).
+
+    Join strategy mix is deliberate: big-big -> `Dataset.join`
+    (partitioned hash exchange), big-small -> `ray.put` broadcast
+    lookup inside `map_batches` — the two canonical shapes."""
+    import pyarrow.parquet as pq
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def line_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "revenue": rev})
+
+    line = line.map_batches(line_rev, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "o_year": pc.year(batch["o_orderdate"]),
+        })
+
+    orders = orders.map_batches(order_proj, batch_format="pyarrow")
+    joined = line.join(orders, join_type="inner", num_partitions=8,
+                       on=("l_orderkey",))
+
+    cust_t = pq.read_table(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    cust_ref = ray.put(dict(zip(cust_t["c_custkey"].to_pylist(),
+                                cust_t["c_nationkey"].to_pylist())))
+    nation_ref = ray.put(dict(zip(nation_t["n_nationkey"].to_pylist(),
+                                  nation_t["n_name"].to_pylist())))
+
+    enriched = joined.map_batches(
+        _NationEnricher, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4), num_cpus=1,
+        fn_constructor_args=(cust_ref, nation_ref))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["n_name", "o_year"]).aggregate(
+            [("revenue", "sum"), ("revenue", "count")])
+
+    agg = enriched.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["n_name", "o_year"]).aggregate(
+            Sum("revenue_sum", alias_name="revenue"),
+            Sum("revenue_count", alias_name="n_lineitems"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch["n_name"],
+            "o_year": pc.cast(batch["o_year"], pa.int64()),
+            "revenue": _round_col(batch["revenue"], 2),
+            "n_lineitems": batch["n_lineitems"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+NATION_YEAR_REVENUE_SQL = """
+SELECT n_name,
+       year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_year
+"""

@@ -45,3 +45,34 @@ def test_distinct_composite_key(ray_session):
     out = distinct(ds, ["s", "o"]).to_pandas()
     assert len(out) == 3
     assert sorted(out.columns) == ["o", "s"]  # non-key columns dropped
+
+
+def test_first_wins_hot_key_skew(ray_session):
+    """SURVEY §7.4 hub-entity skew: 90% of rows share ONE key. The
+    per-block combiner must shrink the hot key to one row per block
+    before the bucket exchange, and the result must still be the
+    global minimum-order row."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from kg_covid_19_ray.stages.dedup import first_wins
+
+    n = 20_000
+    rng = np.random.RandomState(3)
+    keys = np.where(rng.rand(n) < 0.9, "HOT:1",
+                    [f"K:{i}" for i in rng.randint(0, 500, n)])
+    order = rng.permutation(n).astype(np.int64)
+    df = pd.DataFrame({"id": keys, "order_key": order,
+                       "payload": [f"p{o}" for o in order]})
+    ds = ray.data.from_pandas(df).repartition(16)
+    out = first_wins(ds, ["id"], "order_key").to_pandas()
+
+    exp = df.sort_values("order_key", kind="mergesort") \
+            .drop_duplicates("id")
+    assert len(out) == len(exp)
+    got_hot = out[out["id"] == "HOT:1"].iloc[0]
+    exp_hot = exp[exp["id"] == "HOT:1"].iloc[0]
+    assert got_hot["order_key"] == exp_hot["order_key"]
+    assert got_hot["payload"] == exp_hot["payload"]
+    merged = out.merge(exp, on="id", suffixes=("_got", "_exp"))
+    assert (merged["order_key_got"] == merged["order_key_exp"]).all()
