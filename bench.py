@@ -75,7 +75,20 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
         # headline: one fully-streaming job, pages parquet -> deduped
         # triple rows (no barrier, no materialization)
         edges = mention_edges(canonical_mentions(pages_dir))
-        n_edges = edges.count()
+        if os.environ.get("BENCH_STATS"):
+            # per-stage execution stats (wall, cpu, rows, object-store
+            # bytes per operator) for tuning evidence; materialize so
+            # the stats survive consumption (adds store overhead -
+            # don't compare this run's wall-clock with the default)
+            edges = edges.materialize()
+            n_edges = edges.count()
+            stats_path = os.environ.get(
+                "BENCH_STATS_PATH", "/tmp/kg_ray_bench/headline_stats.txt")
+            with open(stats_path, "w") as fh:
+                fh.write(edges.stats())
+            extras["stats_path"] = stats_path
+        else:
+            n_edges = edges.count()
         extras["triples_out"] = n_edges
         return n_edges
 

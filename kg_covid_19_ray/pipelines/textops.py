@@ -205,9 +205,83 @@ LIMIT {TOKEN_FREQ_K}
 """
 
 
+CLEAN_MIN_TOKENS = 20
+CLEAN_MAX_STOP_RATIO = 0.25
+
+
+def clean_corpus(sf_dir: str) -> ray.data.Dataset:
+    """The composed training-data cleaning pipeline — the flow a
+    corpus-prep user actually runs, fused into ONE streaming job:
+
+      read -> quality stats -> quality gate -> language gate ->
+      exact-dedup keep-first -> retained doc list
+
+    Quality + language run fused in one ``map_batches`` (no
+    intermediate materialization); dedup is the only shuffle, on the
+    md5 fingerprint with doc_id as the deterministic keep-first order
+    key. Output: (doc_id, source, n_tokens) of retained docs."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    lang = LangId()
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+        stop = set(STOPWORDS)
+        n_stop = np.fromiter(
+            (sum(1 for t in ts if t in stop) for ts in toks),
+            dtype=np.int64, count=len(toks))
+        stop_ratio = n_stop / np.maximum(n_tokens, 1)
+        pred = lang(batch)["pred_lang"].to_numpy()
+        keep = ((n_tokens >= CLEAN_MIN_TOKENS)
+                & (stop_ratio <= CLEAN_MAX_STOP_RATIO)
+                & (pred == "en"))
+        out = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy()[keep],
+            "source": batch["source"].to_numpy()[keep],
+            "n_tokens": n_tokens[keep],
+            "fp": [hashlib.md5(t.encode()).hexdigest()
+                   for t in batch["text"].to_numpy()[keep]],
+        })
+        return out
+
+    gated = ds.map_batches(gate, batch_format="pandas")
+    from kg_covid_19_ray.stages.dedup import first_wins
+    kept = first_wins(gated, ["fp"], "doc_id")
+    return kept.select_columns(["doc_id", "source", "n_tokens"])
+
+
+# "prediction == en" in marker terms: en has evidence and wins every
+# tie (LANG_MARKERS order makes en the tie-break winner)
+CLEAN_CORPUS_SQL = f"""
+WITH lang AS (
+    SELECT doc_id, source, text,
+           {_marker_count_sql(LANG_MARKERS[0][1])} AS en_c,
+           {_marker_count_sql(LANG_MARKERS[1][1])} AS de_c,
+           {_marker_count_sql(LANG_MARKERS[2][1])} AS es_c,
+           {_marker_count_sql(LANG_MARKERS[3][1])} AS fr_c
+    FROM documents
+), gated AS (
+    SELECT doc_id, source,
+           length(string_split(text, ' ')) AS n_tokens,
+           md5(text) AS fp
+    FROM lang
+    WHERE length(string_split(text, ' ')) >= {CLEAN_MIN_TOKENS}
+      AND length(list_filter(string_split(text, ' '),
+                 x -> x IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}')))
+          / greatest(length(string_split(text, ' ')), 1)::DOUBLE
+          <= {CLEAN_MAX_STOP_RATIO}
+      AND en_c > 0 AND en_c >= de_c AND en_c >= es_c AND en_c >= fr_c
+)
+SELECT doc_id, source, n_tokens FROM gated
+QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+"""
+
+
 REGISTRY = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": (md5_fingerprints, MD5_FINGERPRINTS_SQL),
     "text_token_freq": (token_freq, TOKEN_FREQ_SQL),
+    "text_clean_corpus": (clean_corpus, CLEAN_CORPUS_SQL),
 }
