@@ -34,6 +34,21 @@ def _ensure_ray() -> None:
 
 def cmd_transform(args: argparse.Namespace) -> int:
     _ensure_ray()
+    if args.checkpoint_dir:
+        # resumable flagship path: extraction goes through the
+        # per-stage checkpoint (state/checkpoint.run_stage); a rerun
+        # with the same input skips completed stages
+        from kg_covid_19_ray.pipelines.flagship import build_kg
+        nodes, edges = build_kg(args.input, share="checkpoint",
+                                checkpoint_dir=args.checkpoint_dir)
+        base = os.path.join(args.output_dir, "web_pages")
+        nodes.write_parquet(os.path.join(base, "nodes"))
+        edges.write_parquet(os.path.join(base, "edges"))
+        print(json.dumps({"web_pages": {
+            "nodes": os.path.join(base, "nodes"),
+            "edges": os.path.join(base, "edges"),
+            "checkpoint_dir": args.checkpoint_dir}}, indent=2))
+        return 0
     from kg_covid_19_ray.pipelines.registry import run_transforms
     out = run_transforms(args.input, args.output_dir,
                          sources=args.sources, tsv=args.tsv)
@@ -136,6 +151,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--output-dir", required=True)
     t.add_argument("--sources", nargs="*", default=None)
     t.add_argument("--tsv", action="store_true")
+    t.add_argument("--checkpoint-dir", default=None,
+                   help="resumable run: per-stage parquet checkpoints")
     t.set_defaults(fn=cmd_transform)
 
     m = sub.add_parser("merge", help="merge per-source outputs")

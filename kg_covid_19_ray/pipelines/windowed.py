@@ -159,8 +159,72 @@ FROM events GROUP BY event_type
 """
 
 
+def sliding_count(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window aggregate: for every event, the number of events
+    by the same user in the preceding hour (inclusive). Per-user
+    two-pointer sweep over the time-sorted group — O(n) per user, the
+    batch-mode sliding window."""
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy()
+        lo = np.searchsorted(ts, ts - np.timedelta64(1, "h"), side="left")
+        n_in_window = np.arange(1, len(g) + 1) - lo
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "n_last_hour": n_in_window.astype(np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SLIDING_COUNT_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                            AND CURRENT ROW) AS n_last_hour
+FROM events
+"""
+
+TOP_ORDERS_PER_CUST = 2
+
+
+def top_orders_per_cust(sf_dir: str) -> ray.data.Dataset:
+    """Per-group top-k (window-function rank analog): each customer's
+    TOP_ORDERS_PER_CUST highest-value orders. Per-batch partial top-k
+    per key (union-safe under the (price desc, orderkey asc) total
+    order), final exact reduce."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort") \
+            .groupby("o_custkey", sort=False).head(TOP_ORDERS_PER_CUST)
+
+    return ds.map_batches(partial, batch_format="pandas") \
+             .groupby("o_custkey") \
+             .map_groups(partial, batch_format="pandas")
+
+
+TOP_ORDERS_PER_CUST_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey)
+        <= {TOP_ORDERS_PER_CUST}
+"""
+
+
 REGISTRY = {
     "rel_sessions": (sessions, SESSIONS_SQL),
     "rel_asof_error_click": (asof_error_click, ASOF_ERROR_CLICK_SQL),
     "rel_props_avg": (props_avg, PROPS_AVG_SQL),
+    "rel_sliding_count": (sliding_count, SLIDING_COUNT_SQL),
+    "rel_top_orders_per_cust": (top_orders_per_cust,
+                                TOP_ORDERS_PER_CUST_SQL),
 }

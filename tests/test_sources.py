@@ -171,3 +171,32 @@ def test_read_mixml_datasets_and_bad_file_skip(ray_session, tmp_path):
     nodes = mixml.read_mixml_nodes(str(tmp_path)).to_pandas()
     edges = mixml.read_mixml_edges(str(tmp_path)).to_pandas()
     assert len(nodes) == 4 and len(edges) == 3  # bad file skipped
+
+
+def test_read_json_records_with_flatten(ray_session, tmp_path):
+    """S2/S6: canned-JSON record ingestion (the ES-scroll / ChEMBL
+    path) — read_json + the recursive flattener to a flat table."""
+    import json as _json
+    import ray.data
+    from kg_covid_19_ray.functions.strings import flatten_json
+
+    recs = [
+        {"molecule": {"pref_name": "Water", "chebi": "CHEBI:15377"},
+         "synonyms": [{"name": "H2O"}, {"name": "oxidane"}]},
+        {"molecule": {"pref_name": "Ethanol", "chebi": "CHEBI:16236"},
+         "synonyms": []},
+    ]
+    p = tmp_path / "records.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in recs))
+
+    ds = ray.data.read_json(str(p))
+
+    def flat(row: dict) -> dict:
+        out = flatten_json(row, allowed=["pref_name", "chebi", "name"])
+        return {"pref_name": out.get("pref_name", ""),
+                "chebi": out.get("chebi", ""),
+                "synonyms": out.get("name", "")}
+
+    df = ds.map(flat).to_pandas().sort_values("pref_name")
+    assert df["pref_name"].tolist() == ["Ethanol", "Water"]
+    assert df.iloc[1]["synonyms"] == "H2O|oxidane"
