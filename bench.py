@@ -139,6 +139,34 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     for name, fn in optional:
         timed(name, fn)
 
+    # dedup/cleaning at scale: expand documents to ~1M rows with
+    # controlled duplicate structure (sources/docgen) and run the
+    # training-data suite on it — the proof these operators aren't
+    # 5000-row toys. Generation is untimed and cached on disk.
+    doc_replicas = int(os.environ.get("GRAFT_DOC_REPLICAS", "200"))
+    if doc_replicas > 0 and (only is None or only.endswith("_big")):
+        try:
+            from kg_covid_19_ray.sources.docgen import \
+                write_documents_parquet
+            from kg_covid_19_ray.pipelines.dedup_ops import (
+                exact_dedup, minhash_near_dups)
+            from kg_covid_19_ray.pipelines.textops import clean_corpus
+            tag = os.path.basename(os.path.normpath(sf_dir))
+            big_root = f"/tmp/kg_ray_bench/docs_{tag}_x{doc_replicas}"
+            big_table = os.path.join(big_root, "documents.parquet")
+            if not os.path.isdir(big_table):
+                write_documents_parquet(sf_dir, big_table,
+                                        replicas=doc_replicas)
+            extras["docs_big"] = ray.data.read_parquet(big_table).count()
+            timed("dedup_exact_big",
+                  lambda: exact_dedup(big_root).count())
+            timed("text_clean_big",
+                  lambda: clean_corpus(big_root).count())
+            timed("dedup_minhash_big",
+                  lambda: minhash_near_dups(big_root).count())
+        except ImportError:
+            pass
+
     ray.shutdown()
 
     headline = timings.get("kg_triples") or timings.get("kg_build", 0.0)

@@ -48,10 +48,28 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
         return g.rename(columns={"min": "keep_doc_id", "count": "n_docs"})
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("fp").aggregate(
-        Min("keep_doc_id", alias_name="keep_doc_id"),
-        Sum("n_docs", alias_name="n_docs"),
-    )
+
+    # Bucketed Arrow-native reduce (stages/dedup pattern): Ray's
+    # groupby().aggregate() pays per-GROUP Python work — ruinous at
+    # high key cardinality (24.5k distinct fps measured ~14s). Routing
+    # by hash(fp) % 64 and reducing each bucket with ONE C-level
+    # pyarrow group_by keeps the Python call count at 64.
+    num_buckets = 64
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["fp"], index=False).to_numpy()
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        agg = t.group_by("fp", use_threads=False).aggregate(
+            [("keep_doc_id", "min"), ("n_docs", "sum")])
+        return agg.rename_columns(["fp", "keep_doc_id", "n_docs"])
+
+    return partials.map_batches(add_bucket, batch_format="pandas") \
+                   .groupby("__bucket") \
+                   .map_groups(reduce_bucket, batch_format="pyarrow")
 
 
 EXACT_DEDUP_SQL = """
