@@ -234,18 +234,24 @@ class MinHasher:
 
         n = len(batch)
         ids = batch["doc_id"].to_numpy()
+        # fused key (band << 32) | crc32: one int64 instead of
+        # (band:int32, hash:int64) — less payload through the shuffle
         out_hash = np.empty(n * MINHASH_BANDS, dtype=np.int64)
         sig_t = np.ascontiguousarray(sigs.T)  # (n, PERMS)
         for i in range(n):
             row = sig_t[i]
+            base = i * MINHASH_BANDS
             for b in range(MINHASH_BANDS):
-                out_hash[i * MINHASH_BANDS + b] = zlib.crc32(
+                out_hash[base + b] = (b << 32) | zlib.crc32(
                     row[b * MINHASH_ROWS:(b + 1) * MINHASH_ROWS].tobytes())
         return pd.DataFrame({
-            "band": np.tile(np.arange(MINHASH_BANDS, dtype=np.int32), n),
             "band_hash": out_hash,
             "doc_id": np.repeat(ids, MINHASH_BANDS),
         })
+
+
+def _minhash_bands(batch: pd.DataFrame) -> pd.DataFrame:
+    return MinHasher()(batch)
 
 
 def minhash_near_dups(sf_dir: str,
@@ -261,8 +267,11 @@ def minhash_near_dups(sf_dir: str,
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pandas",
-                           concurrency=(1, 8), num_cpus=1)
+    # signature stage is stateless (permutation params are module
+    # constants): run as a TASK pool so it scales to every core the
+    # cluster has, instead of a fixed-size actor pool
+    bands = ds.map_batches(_minhash_bands, batch_format="pandas",
+                           batch_size=8192)
 
     # Route band rows into a FIXED number of hash buckets and emit all
     # within-(band,band_hash) pairs with one vectorized pandas pass per
@@ -273,19 +282,19 @@ def minhash_near_dups(sf_dir: str,
     num_buckets = 64
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(batch[["band", "band_hash"]],
+        h = pd.util.hash_pandas_object(batch["band_hash"],
                                        index=False).to_numpy()
         batch = batch.copy()
         batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
         return batch
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
-        sizes = g.groupby(["band", "band_hash"], sort=False)["doc_id"] \
+        g = g.drop_duplicates(["band_hash", "doc_id"])
+        sizes = g.groupby("band_hash", sort=False)["doc_id"] \
                  .transform("size")
-        g = g[sizes >= 2].sort_values(["band", "band_hash", "doc_id"])
+        g = g[sizes >= 2].sort_values(["band_hash", "doc_id"])
         out_a, out_b = [], []
-        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+        for _, grp in g.groupby("band_hash", sort=False):
             ids = grp["doc_id"].to_numpy()
             ia, ib = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ia])
@@ -331,7 +340,7 @@ def minhash_near_dups(sf_dir: str,
             return batch[batch["jaccard"] >= threshold]
 
     return cand.map_batches(Verifier, batch_format="pandas",
-                            concurrency=(1, 4), num_cpus=1,
+                            concurrency=(1, 16), num_cpus=1,
                             fn_constructor_args=(text_ref,))
 
 # --------------------------------------------------------------- simhash
