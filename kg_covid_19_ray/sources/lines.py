@@ -98,21 +98,26 @@ def parse_stanzas(text: str, *, skip_dashed_prologue: bool = True
     out: list[dict] = []
     cur_id: str | None = None
     cur: dict[str, list[str]] = {}
+
+    def flush():
+        nonlocal cur_id, cur
+        if cur_id is not None:
+            out.append({"record_id": cur_id, "fields": cur})
+        cur_id, cur = None, {}
+
     for ln in lines[start:]:
         if not ln.strip():
-            if cur_id is not None:
-                out.append({"record_id": cur_id, "fields": cur})
-                cur_id, cur = None, {}
+            flush()  # blank line closes a stanza
             continue
         parts = ln.split("\t")
         if len(parts) < 3:
             continue
         rid, abbrev, value = parts[0], parts[1], "\t".join(parts[2:])
-        if cur_id is None:
+        if rid != cur_id:
+            flush()  # id change also closes it (ttd.py groups by id)
             cur_id = rid
         cur.setdefault(abbrev, []).append(value)
-    if cur_id is not None:
-        out.append({"record_id": cur_id, "fields": cur})
+    flush()
     return out
 
 
@@ -135,32 +140,41 @@ def read_stanza_files(path: str) -> ray.data.Dataset:
 
 # ------------------------------------------------------------------ M8
 
-GPI_COLUMNS = ["db", "db_object_id", "db_object_symbol", "db_object_name",
-               "db_object_synonyms", "db_object_type", "taxon",
-               "parent_object_id", "xrefs", "properties"]
-_MULTIVALUE_GPI = {"db_object_name", "db_object_synonyms", "xrefs",
-                   "properties"}
+GPI_COLUMNS = ["DB", "DB_Object_ID", "DB_Object_Symbol",
+               "DB_Object_Name", "DB_Object_Synonym", "DB_Object_Type",
+               "Taxon", "Parent_Object_ID", "DB_Xref", "Properties"]
+# Indices pipe-split by the reference iterator
+# (sars_cov_2_gene_annot.py:256-269). NOTE the reference's inline
+# comments are off-by-one vs its own field list — it actually splits
+# Symbol(2), Name(3), Parent_Object_ID(7) and DB_Xref(8); parity means
+# matching the BEHAVIOR, so we split the same indices.
+_GPI_SPLIT_IDX = {2, 3, 7, 8}
 
 
 def parse_gpi_lines(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
-    """M8 (sars_cov_2_gene_annot.py:228-271): skip ``!`` comments,
-    tab-split to the GPI 1.2 column set, ``|``-subsplit the multivalue
-    columns into list<string>."""
+    """M8 (sars_cov_2_gene_annot.py:228-271): skip ``!`` comments and
+    single-field lines, tab-split to the GPI 1.2 column set (ragged
+    short rows allowed — missing trailing fields become nulls, as the
+    reference's zip truncation leaves keys absent), ``|``-subsplit the
+    same columns the reference splits."""
     cols: dict[str, list] = {c: [] for c in GPI_COLUMNS}
     for line in batch[text_col].to_pylist():
         if not line or line.startswith("!"):
             continue
         fields = line.rstrip("\n").split("\t")
-        if len(fields) != len(GPI_COLUMNS):
-            raise ValueError(
-                f"GPI line has {len(fields)} fields, "
-                f"expected {len(GPI_COLUMNS)}")
-        for c, f in zip(GPI_COLUMNS, fields):
-            cols[c].append(f.split("|") if c in _MULTIVALUE_GPI else f)
+        if len(fields) == 1:
+            continue
+        for i, c in enumerate(GPI_COLUMNS):
+            if i >= len(fields):
+                cols[c].append(None)
+            elif i in _GPI_SPLIT_IDX:
+                cols[c].append(fields[i].split("|"))
+            else:
+                cols[c].append(fields[i])
     out = {}
-    for c, v in cols.items():
-        typ = pa.list_(pa.string()) if c in _MULTIVALUE_GPI else pa.string()
-        out[c] = pa.array(v, typ)
+    for i, c in enumerate(GPI_COLUMNS):
+        typ = pa.list_(pa.string()) if i in _GPI_SPLIT_IDX else pa.string()
+        out[c] = pa.array(cols[c], typ)
     return pa.table(out)
 
 
