@@ -181,3 +181,41 @@ def parse_gpi_lines(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
 def read_gpi(path: str) -> ray.data.Dataset:
     return ray.data.read_text(path).map_batches(
         parse_gpi_lines, batch_format="pyarrow")
+
+
+GPA_COLUMNS = ["DB", "DB_Object_ID", "Qualifier", "GO_ID", "DB:Reference",
+               "ECO_Evidence_code", "With", "Interacting_taxon_ID", "Date",
+               "Assigned_by", "Annotation Extension",
+               "Annotation_Properties"]
+_GPA_SPLIT_IDX = {2, 4, 6, 10}  # Qualifier, DB:Reference, With, Ann.Ext.
+
+
+def parse_gpa_lines(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """M8 GPA 1.1 iterator (sars_cov_2_gene_annot.py:275-307): skip
+    ``!`` comments and single-field lines; pipe-split Qualifier,
+    DB:Reference, With and Annotation Extension; ragged rows null-pad
+    (zip truncation in the reference)."""
+    cols: dict[str, list] = {c: [] for c in GPA_COLUMNS}
+    for line in batch[text_col].to_pylist():
+        if not line or line.startswith("!"):
+            continue
+        fields = line.rstrip("\n").split("\t")
+        if len(fields) == 1:
+            continue
+        for i, c in enumerate(GPA_COLUMNS):
+            if i >= len(fields):
+                cols[c].append(None)
+            elif i in _GPA_SPLIT_IDX:
+                cols[c].append(fields[i].split("|"))
+            else:
+                cols[c].append(fields[i])
+    out = {}
+    for i, c in enumerate(GPA_COLUMNS):
+        typ = pa.list_(pa.string()) if i in _GPA_SPLIT_IDX else pa.string()
+        out[c] = pa.array(cols[c], typ)
+    return pa.table(out)
+
+
+def read_gpa(path: str) -> ray.data.Dataset:
+    return ray.data.read_text(path).map_batches(
+        parse_gpa_lines, batch_format="pyarrow")

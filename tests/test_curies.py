@@ -97,3 +97,31 @@ def test_sameas_canonical_map():
     assert m["PUBCHEM.COMPOUND:2244"] == "CHEBI:15365"
     assert m["UniProtKB:P63151"] == "UniProtKB:P35499"
     assert m["UniProtKB:P35499"] == "UniProtKB:P35499"
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("curie,category", [
+    ("", "biolink:NamedThing"),
+    ("UniProtKB", "biolink:Protein"),
+    ("ComplexPortal", "biolink:Protein"),
+    ("GO", "biolink:OntologyClass"),
+])
+def test_guess_category_reference_cases(curie, category):
+    """Reference tests/test_transform_utils.py:14-24 parameter set."""
+    from kg_covid_19_ray.functions.curies import guess_biolink_category
+    assert guess_biolink_category(curie) == category
+
+
+@_pytest.mark.parametrize("curie,collapsed", [
+    ("foobar", "foobar"),
+    ("ENSEMBL:ENSG00000178607", "ENSEMBL:ENSG00000178607"),
+    ("UniprotKB:P63151-1", "UniprotKB:P63151"),
+    ("uniprotkb:P63151-1", "uniprotkb:P63151"),
+    ("UniprotKB:P63151-2", "UniprotKB:P63151"),
+])
+def test_collapse_isoform_reference_cases(curie, collapsed):
+    """Reference tests/test_transform_utils.py:26-37 parameter set."""
+    from kg_covid_19_ray.functions.curies import collapse_uniprot_isoform
+    assert collapse_uniprot_isoform(curie) == collapsed
