@@ -149,7 +149,9 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("transform", help="run transform plugins")
     t.add_argument("--input", required=True)
     t.add_argument("--output-dir", required=True)
-    t.add_argument("--sources", nargs="*", default=None)
+    t.add_argument("--sources", nargs="*", default=["web_pages"],
+                   help="registered transform plugins to run "
+                        "(default: the flagship web_pages)")
     t.add_argument("--tsv", action="store_true")
     t.add_argument("--checkpoint-dir", default=None,
                    help="resumable run: per-stage parquet checkpoints")

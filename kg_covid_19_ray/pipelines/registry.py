@@ -73,5 +73,10 @@ def _register_builtin() -> None:
     def web_pages(source):
         return build_kg(source)
 
+    # reference-parity plugins self-register on import
+    import importlib
+    for mod in ("drug_central", "string_ppi", "chembl", "gene_annot"):
+        importlib.import_module(f"kg_covid_19_ray.pipelines.{mod}")
+
 
 _register_builtin()

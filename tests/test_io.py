@@ -122,3 +122,27 @@ def test_flagship_kg_export_end_to_end(ray_session, tmp_path):
     kgx.write_ntriples(edges, str(tmp_path / "edges_nt"))
     back = rdf.read_ntriples(str(tmp_path / "edges_nt"))
     assert back.count() == edges.count()
+
+
+GOCAM_NT = ("/root/reference/tests/resources/gocams/"
+            "lifted-go-cams-20200619_SNIPPET.nt")
+
+
+def test_read_ntriples_gocam_reference_fixture(ray_session):
+    """S7 on the reference's own GO-CAM N-Triples snippet (its own
+    test is smoke-only, gocam_transform.py:93-111 delegates to KGX):
+    every triple line parses, biolink-vocab predicates contract."""
+    import os
+    import pytest as _pytest
+    if not os.path.exists(GOCAM_NT):
+        _pytest.skip("reference fixture unavailable")
+    n_lines = sum(1 for line in open(GOCAM_NT)
+                  if line.strip().endswith("."))
+    out = rdf.read_ntriples(GOCAM_NT).to_pandas()
+    assert len(out) == n_lines > 0
+    # predicates under the biolink vocab base contract to CURIEs
+    biolink_preds = out[out["predicate"].str.startswith("biolink:")]
+    assert len(biolink_preds) > 0
+    assert "biolink:related_to" in set(out["predicate"])
+    # unknown IRIs pass through unchanged (no false contraction)
+    assert out["subject"].str.startswith("http").any()

@@ -143,3 +143,23 @@ def test_cli_query_and_parser(ray_session, tmp_path, capsys):
     assert "biolink:Publication" in out
     args = p.parse_args(["query", "no_such_query"])
     assert args.fn(args) == 2
+
+
+def test_cli_error_paths(ray_session, tmp_path):
+    """Reference tests/test_run.py:17-31 analogs: bad inputs fail
+    loudly, not silently."""
+    from kg_covid_19_ray import cli
+    p = cli.build_parser()
+
+    # unknown transform source -> KeyError from the registry
+    args = p.parse_args(["transform", "--input", "/nonexistent",
+                         "--output-dir", str(tmp_path),
+                         "--sources", "no_such_source"])
+    with pytest.raises(KeyError, match="no_such_source"):
+        args.fn(args)
+
+    # merge with a missing per-source dir -> read error
+    args = p.parse_args(["merge", "--sources", str(tmp_path / "missing"),
+                         "--output-dir", str(tmp_path / "out")])
+    with pytest.raises(Exception):
+        args.fn(args)
