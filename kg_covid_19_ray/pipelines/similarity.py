@@ -224,6 +224,53 @@ def ann_lsh(sf_dir: str) -> ray.data.Dataset:
     return cand.groupby("q_id").map_groups(dedup_topk, batch_format="pandas")
 
 
+def knn_classify(sf_dir: str) -> ray.data.Dataset:
+    """k-NN label prediction for the query vectors: majority label of
+    the exact cosine top-k (ties -> smallest label). Composes the
+    brute-force ANN with a broadcast vec_id -> label lookup."""
+    import pyarrow.parquet as pq
+
+    labels_t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "label"])
+    labels_ref = ray.put(dict(zip(labels_t["vec_id"].to_pylist(),
+                                  labels_t["label"].to_pylist())))
+    neighbors = ann_bruteforce(sf_dir)
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(labels_ref)
+        counts: dict[int, int] = {}
+        for n_id in g["n_id"]:
+            l = lab[n_id]
+            counts[l] = counts.get(l, 0) + 1
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        return pd.DataFrame({"q_id": [g["q_id"].iloc[0]],
+                             "pred_label": [int(best)]})
+
+    return neighbors.groupby("q_id").map_groups(vote, batch_format="pandas")
+
+
+KNN_CLASSIFY_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+    FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+), topk AS (
+    SELECT q_id, e.vec_id AS n_id, e.label
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.q_id
+    QUALIFY row_number() OVER (
+        PARTITION BY q_id
+        ORDER BY round(list_cosine_similarity(q_emb,
+                       e.embedding::DOUBLE[]), 6) DESC, e.vec_id)
+        <= {ANN_K}
+)
+SELECT q_id, label AS pred_label FROM (
+    SELECT q_id, label, count(*) AS n FROM topk GROUP BY q_id, label
+)
+QUALIFY row_number() OVER (PARTITION BY q_id
+                           ORDER BY n DESC, label) = 1
+"""
+
+
 # ------------------------------------------------------------------ IVF
 
 IVF_CELLS = 32
@@ -373,5 +420,6 @@ REGISTRY = {
     "ann_bruteforce": (ann_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_lsh": (ann_lsh, None),  # approximate: rows-only driver check
     "ann_ivf": (ann_ivf, None),  # approximate: rows-only driver check
+    "ann_knn_classify": (knn_classify, KNN_CLASSIFY_SQL),
     "embedding_pair_topk": (embedding_pair_topk, EMBEDDING_PAIR_TOPK_SQL),
 }
