@@ -106,6 +106,92 @@ def _link_term(term: str, name: str,
     return contract_uri(term), name, "biolink:OntologyClass"
 
 
+COOCCUR_PROVIDED_BY = f"{SOURCE_NAME} co-occurrences"
+
+
+def cooccurrence_transform(input_dir: str,
+                           zip_name: str = "cv19_scc_1_2.zip"
+                           ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """F2 co-occurrence TSV (scibite_cord.py:234-340, behavior-exact):
+    one Publication node per first paper occurrence; term handling
+    mirrors a reference QUIRK — the branch checks ``t not in seen`` but
+    only ever adds the CONTRACTED curie (never the raw ``t``), so the
+    branch always fires: term NODES are emitted at every occurrence
+    (duplicates and all), while EDGES dedup through the
+    ``(curie, paper)`` tuple set — one ``correlated_with`` edge
+    (term -> paper, RO:0002610) per distinct pair (D2). Rows with
+    empty entity_uris are skipped.
+
+    Single task per zip: the TSV's row order IS the reference's seen-
+    set order (S4 contiguity), so no shuffle is needed for parity."""
+    import os
+
+    country_map = load_country_codes(
+        os.path.join(input_dir, "wikidata_country_codes.tsv"))
+    files = ray.data.read_binary_files(
+        os.path.join(input_dir, zip_name))
+
+    def rows(file_row: dict):
+        import csv
+        zf = zipfile.ZipFile(io.BytesIO(file_row["bytes"]))
+        tsv_name = next(n for n in zf.namelist() if n.endswith(".tsv"))
+        text = zf.read(tsv_name).decode("utf-8")
+        reader = csv.DictReader(io.StringIO(text), delimiter="\t")
+        seen: set = set()
+        for rec in reader:
+            uris = rec.get("entity_uris")
+            if not uris:
+                continue
+            terms = set(uris.split("|"))
+            paper_id = rec["document_id"]
+            if paper_id.endswith(".xml"):
+                paper_id = paper_id[: -len(".xml")]
+            paper_curie = f"CORD:{paper_id}"
+            if paper_id not in seen:
+                yield {"kind": "node", "id": paper_curie, "name": "",
+                       "category": "biolink:Publication",
+                       "subject": "", "object": ""}
+                seen.add(paper_id)
+            for t in terms:
+                curie, name, category = _link_term(t, "", country_map)
+                if t not in seen:  # always true: only curie gets added
+                    yield {"kind": "node", "id": curie, "name": name,
+                           "category": category,
+                           "subject": "", "object": ""}
+                    seen.add(curie)
+                    if (curie, paper_curie) not in seen:
+                        yield {"kind": "edge", "id": "", "name": "",
+                               "category": "", "subject": curie,
+                               "object": paper_curie}
+                        seen.add((curie, paper_curie))
+
+    emitted = files.flat_map(rows)
+
+    def nodes_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = batch.filter(pc.equal(batch["kind"], "node"))
+        return pa.table({
+            "id": t["id"], "name": t["name"], "category": t["category"],
+            "provided_by": pa.array([COOCCUR_PROVIDED_BY] * t.num_rows),
+        })
+
+    def edges_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = batch.filter(pc.equal(batch["kind"], "edge"))
+        n = t.num_rows
+        return pa.table({
+            "subject": t["subject"],
+            "predicate": pa.array(["biolink:correlated_with"] * n),
+            "object": t["object"],
+            "relation": pa.array(["RO:0002610"] * n),
+            "provided_by": pa.array([COOCCUR_PROVIDED_BY] * n),
+            "type": pa.array(["biolink:Association"] * n),
+        })
+
+    return (emitted.map_batches(nodes_of, batch_format="pyarrow"),
+            emitted.map_batches(edges_of, batch_format="pyarrow"))
+
+
 def cord_transform(input_dir: str, zip_names: list[str]
                    ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """(nodes, edges) from the CORD zips under ``input_dir``."""

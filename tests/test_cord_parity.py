@@ -88,3 +88,46 @@ def test_cord_dataset_invariant_to_zip_order(ray_session):
     b_nodes, _ = cord.cord_transform(FIXDIR, list(reversed(ZIPS)))
     key = lambda df: sorted(map(tuple, df.astype(str).to_numpy()))
     assert key(a_nodes.to_pandas()) == key(b_nodes.to_pandas())
+
+
+def test_cooccurrence_transform_reference_fixture(ray_session):
+    """F2 co-occurrence parity over cv19_scc_1_2.zip: edges = distinct
+    (contracted term, paper) pairs (D2); paper nodes one per paper;
+    term nodes duplicated per occurrence (reference seen-set quirk,
+    see sources/cord.cooccurrence_transform docstring)."""
+    import csv as _csv
+    import io as _io
+
+    nodes, edges = cord.cooccurrence_transform(FIXDIR)
+    ndf, edf = nodes.to_pandas(), edges.to_pandas()
+
+    # independent recount from the raw TSV
+    cmap = cord.load_country_codes(
+        os.path.join(FIXDIR, "wikidata_country_codes.tsv"))
+    zf = zipfile.ZipFile(os.path.join(FIXDIR, "cv19_scc_1_2.zip"))
+    text = zf.read("cv19_scc.tsv").decode("utf-8")
+    # emulate the reference's seen-set gating: the branch checks raw
+    # ``t`` but adds the contracted curie — so it re-fires every time
+    # EXCEPT for curie-shaped terms where contract(t) == t
+    papers, pairs, term_rows, seen = set(), set(), 0, set()
+    for rec in _csv.DictReader(_io.StringIO(text), delimiter="\t"):
+        if not rec.get("entity_uris"):
+            continue
+        pid = rec["document_id"].removesuffix(".xml")
+        papers.add(pid)
+        for t in set(rec["entity_uris"].split("|")):
+            curie = cord._link_term(t, "", cmap)[0]
+            if t not in seen:
+                term_rows += 1
+                seen.add(curie)
+                pairs.add((curie, f"CORD:{pid}"))
+
+    assert set(zip(edf["subject"], edf["object"])) == pairs
+    assert len(edf) == len(pairs)  # exact D2 dedup
+    assert (edf["relation"] == "RO:0002610").all()
+    assert (edf["predicate"] == "biolink:correlated_with").all()
+    pubs = ndf[ndf["category"] == "biolink:Publication"]
+    assert len(pubs) == len(papers)
+    # term nodes: one row per gated occurrence (quirk preserved)
+    assert len(ndf) == len(papers) + term_rows
+    assert (ndf["provided_by"] == "scibite_cord co-occurrences").all()
