@@ -307,6 +307,11 @@ def minhash_near_dups(sf_dir: str,
             "doc_b": np.concatenate(out_b),
         }).drop_duplicates()
 
+    # NOTE: a keyed hash exchange (repartition(keys=...) under
+    # ShuffleStrategy.HASH_SHUFFLE) would avoid ordering entirely, but
+    # that strategy's aggregator currently fails on these blocks
+    # (ArrowInvalid in HashShuffleAggregator.finalize, Ray 2.49) — the
+    # sort-based bucket groupby stays until the hash path stabilizes.
     cand = bands.map_batches(add_bucket, batch_format="pandas") \
                 .groupby("__bucket") \
                 .map_groups(pairs_in_bucket, batch_format="pandas")
