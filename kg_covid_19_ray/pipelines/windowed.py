@@ -220,8 +220,71 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
 """
 
 
+# value-bucket ranges for the range join: [lo, hi) with a label.
+# Deterministic constants; the small side of a range join is broadcast
+# (searchsorted per batch), never shuffled.
+VALUE_BUCKETS: list[tuple[float, float, str]] = [
+    (0.0, 5.0, "low"),
+    (5.0, 20.0, "mid"),
+    (20.0, 100.0, "high"),
+    (100.0, float("inf"), "extreme"),
+]
+
+
+def range_join_buckets(sf_dir: str) -> ray.data.Dataset:
+    """Range join (custom operator Ray Data lacks): each event joined
+    to the [lo, hi) bucket containing its value, aggregated to
+    (event_type, bucket) counts + value sums. The bucket table is
+    broadcast; assignment is one vectorized searchsorted per batch —
+    no shuffle until the tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["event_type", "value"])
+    los = np.array([b[0] for b in VALUE_BUCKETS])
+    labels = np.array([b[2] for b in VALUE_BUCKETS])
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(los, batch["value"].to_numpy(),
+                              side="right") - 1
+        idx = np.clip(idx, 0, len(labels) - 1)
+        out = pd.DataFrame({"event_type": batch["event_type"],
+                            "bucket": labels[idx],
+                            "value": batch["value"]})
+        g = out.groupby(["event_type", "bucket"], sort=False) \
+               .agg(n=("value", "size"), value_sum=("value", "sum"))
+        return g.reset_index()
+
+    totals = ds.map_batches(assign, batch_format="pandas") \
+               .groupby(["event_type", "bucket"]).aggregate(
+                   Sum("n", alias_name="n"),
+                   Sum("value_sum", alias_name="value_sum"))
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["n"] = batch["n"].astype(np.int64)
+        batch["value_sum"] = np.round(batch["value_sum"], 2)
+        return batch[["event_type", "bucket", "n", "value_sum"]]
+
+    return totals.map_batches(finalize, batch_format="pandas")
+
+
+_BUCKET_ROWS = ", ".join(
+    f"({lo}, {'1e308' if hi == float('inf') else hi}, '{lab}')"
+    for lo, hi, lab in VALUE_BUCKETS)
+
+RANGE_JOIN_BUCKETS_SQL = f"""
+WITH buckets(lo, hi, bucket) AS (VALUES {_BUCKET_ROWS})
+SELECT event_type, bucket, count(*) AS n,
+       round(sum(value), 2) AS value_sum
+FROM events JOIN buckets
+  ON events.value >= buckets.lo AND events.value < buckets.hi
+GROUP BY event_type, bucket
+"""
+
+
 REGISTRY = {
     "rel_sessions": (sessions, SESSIONS_SQL),
+    "rel_range_join": (range_join_buckets, RANGE_JOIN_BUCKETS_SQL),
     "rel_asof_error_click": (asof_error_click, ASOF_ERROR_CLICK_SQL),
     "rel_props_avg": (props_avg, PROPS_AVG_SQL),
     "rel_sliding_count": (sliding_count, SLIDING_COUNT_SQL),
