@@ -93,9 +93,12 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
         return n_edges
 
     def kg_build():
-        # both outputs (nodes + edges) in one session; shares extraction
-        # + the mention table via object-store materialization
-        nodes, edges = build_kg(pages_dir, materialize_mentions=True,
+        # both outputs (nodes + edges) in one session. Extracted docs
+        # are pinned (both branches read them); the mention chain is
+        # RECOMPUTED per branch — measured faster than materializing
+        # 72M mention rows (object-store round trip breaks operator
+        # fusion: 41s pinned vs 28.6s recomputed at sf0.1/32cpu)
+        nodes, edges = build_kg(pages_dir, materialize_mentions=False,
                                 share="materialize")
         extras["triples_out"] = edges.count()
         extras["nodes_out"] = nodes.count()

@@ -187,7 +187,11 @@ def build_kg(source: str | ray.data.Dataset, *, sort_output: bool = False,
       ``state.checkpoint.run_stage`` under ``checkpoint_dir`` —
       the resumable, any-scale path (re-runs skip extraction entirely).
 
-    ``materialize_mentions`` additionally pins the narrow mention table.
+    ``materialize_mentions`` additionally pins the narrow mention
+    table. Measured guidance (sf0.1, 32 cpus): leave it OFF — pinning
+    72M mention rows costs an object-store round trip and breaks
+    operator fusion (the fused detect chain re-run per branch is
+    cheaper: 28.6s vs 41s for both outputs).
     """
     if share == "checkpoint":
         from kg_covid_19_ray.state.checkpoint import (
