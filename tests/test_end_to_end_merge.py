@@ -1,0 +1,86 @@
+"""End-to-end transform -> merge lifecycle over REFERENCE fixtures:
+the reference's `run.py transform` + `run.py merge` flow (SURVEY §3.1/
+§3.2) executed with the engine's plugin registry and config-driven
+merge — two real sources with heterogeneous headers unified (A3),
+nodes property-merged (D3), edges exact-deduped, stats produced (A1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+import ray.data
+
+from kg_covid_19_ray.pipelines import merge_kg
+from kg_covid_19_ray.pipelines.drug_central import transform as dc_transform
+from kg_covid_19_ray.pipelines.string_ppi import transform as sp_transform
+
+DC_FIXTURE = ("/root/reference/tests/resources/drug_central/"
+              "drug.target.interaction_SNIPPET.tsv.gz")
+SP_FIXDIR = "/root/reference/tests/resources/string"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(DC_FIXTURE) and os.path.isdir(SP_FIXDIR)),
+    reason="reference fixtures unavailable")
+
+
+def test_two_source_transform_then_merge(ray_session, tmp_path):
+    # per-source transforms (reference: serial Transform.run per source;
+    # here: two independent Dataset DAGs)
+    dc_nodes, dc_edges = dc_transform(DC_FIXTURE)
+    sp_nodes, sp_edges = sp_transform(SP_FIXDIR)
+
+    cfg = merge_kg.MergeConfig(sources=[
+        merge_kg.SourceSpec("drug_central", dc_nodes, dc_edges),
+        merge_kg.SourceSpec("string_ppi", sp_nodes, sp_edges),
+    ])
+    nodes, edges = merge_kg.merge(cfg)
+    ndf, edf = nodes.to_pandas(), edges.to_pandas()
+
+    # A3: merged header = sorted union of the two sources' different
+    # headers (DC has TDL, STRING has description/xrefs)
+    assert {"TDL", "description", "xrefs"} <= set(ndf.columns)
+    # node counts: 23 DC + 10 STRING, no id overlap
+    assert len(ndf) == 33
+    assert ndf["id"].is_unique
+    # per-source columns null/empty where the other source lacks them
+    dc_row = ndf.set_index("id").loc["DrugCentral:4"]
+    assert pd.isna(dc_row["description"]) or dc_row["description"] == ""
+    sp_row = ndf.set_index("id").loc["ENSEMBL:ENSP00000000233"]
+    assert sp_row["xrefs"] == "UniProtKB:P84085"
+    # edges: 21 DC + 9 STRING survive exact dedup (disjoint keys)
+    assert len(edf) == 30
+    # A1 stats over the merged graph
+    stats = merge_kg.graph_stats(nodes, edges)
+    assert stats["total_nodes"] == 33 and stats["total_edges"] == 30
+    assert stats["edges_by_source"]["drug_central"] == 21
+    # STRING edges carry two provided_by values (STRING + NCBI gene
+    # edges when the fixture maps genes; sum must be 9)
+    sp_edge_total = sum(v for k, v in stats["edges_by_source"].items()
+                        if k != "drug_central")
+    assert sp_edge_total == 9
+
+
+def test_merged_graph_exports(ray_session, tmp_path):
+    """Merged output flows through the KGX TSV and N-Triples sinks and
+    reads back (S8/S9 on real merged data)."""
+    import glob
+    from kg_covid_19_ray.io import kgx
+    from kg_covid_19_ray.sources import rdf
+
+    dc_nodes, dc_edges = dc_transform(DC_FIXTURE)
+    cfg = merge_kg.MergeConfig(sources=[
+        merge_kg.SourceSpec("drug_central", dc_nodes, dc_edges)])
+    nodes, edges = merge_kg.merge(cfg)
+
+    kgx.write_kgx_tsv(nodes, str(tmp_path / "nodes_tsv"))
+    assert glob.glob(str(tmp_path / "nodes_tsv" / "*"))
+    kgx.write_ntriples(
+        edges.select_columns(["subject", "predicate", "object"]),
+        str(tmp_path / "nt"))
+    back = rdf.read_ntriples(str(tmp_path / "nt"))
+    assert back.count() == edges.count()
+    assert set(back.to_pandas()["predicate"]) == \
+        {"biolink:molecularly_interacts_with"}
