@@ -255,13 +255,18 @@ def _minhash_bands(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_near_dups(sf_dir: str,
-                      threshold: float = MINHASH_THRESHOLD) -> ray.data.Dataset:
+                      threshold: float = MINHASH_THRESHOLD,
+                      verify: str = "broadcast") -> ray.data.Dataset:
     """MinHash+LSH near-duplicate pairs, verified with exact shingle
     Jaccard >= threshold. Candidate generation is the canonical
-    shingle -> minhash -> band -> bucket-groupby dataflow; verification
-    broadcasts the doc->text map (small corpus) — at web scale replace
-    the broadcast with two hash joins of the candidate pairs against
-    the documents table (doc_a, then doc_b)."""
+    shingle -> minhash -> band -> bucket-groupby dataflow.
+
+    ``verify``:
+    - ``"broadcast"``: doc->text map broadcast once via ``ray.put`` —
+      right while the corpus text fits comfortably in the object store;
+    - ``"join"``: the WEB-SCALE path — candidate pairs hash-joined
+      against the documents table twice (on doc_a, then doc_b), so no
+      node ever holds the full corpus; identical output."""
     import pyarrow.parquet as pq
     import ray
 
@@ -317,6 +322,35 @@ def minhash_near_dups(sf_dir: str,
                 .map_groups(pairs_in_bucket, batch_format="pandas")
     from kg_covid_19_ray.stages.dedup import distinct
     cand = distinct(cand, ["doc_a", "doc_b"])
+
+    if verify == "join":
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+        def prep(side: str):
+            def fn(batch: pd.DataFrame) -> pd.DataFrame:
+                return batch.rename(columns={"doc_id": side,
+                                             "text": f"text_{side}"})
+            return fn
+
+        cand = cand.join(
+            docs.map_batches(prep("doc_a"), batch_format="pandas"),
+            join_type="inner", num_partitions=8, on=("doc_a",))
+        cand = cand.join(
+            docs.map_batches(prep("doc_b"), batch_format="pandas"),
+            join_type="inner", num_partitions=8, on=("doc_b",))
+
+        def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+            jac = np.empty(len(batch))
+            for i, (ta, tb) in enumerate(zip(batch["text_doc_a"],
+                                             batch["text_doc_b"])):
+                sa, sb = _shingles(ta), _shingles(tb)
+                jac[i] = len(sa & sb) / max(len(sa | sb), 1)
+            out = batch[["doc_a", "doc_b"]].copy()
+            out["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
+            return out[out["jaccard"] >= threshold]
+
+        return cand.map_batches(verify_joined, batch_format="pandas")
 
     texts_t = pq.read_table(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])

@@ -134,3 +134,15 @@ def test_langid_marker_tiebreak(ray_session, tmp_path):
         .set_index("doc_id")["pred_lang"]
     assert out[0] == "en" and out[1] == "de"
     assert out[2] == "und" and out[3] == "en"
+
+
+def test_minhash_join_verification_equivalent(ray_session, planted_dir):
+    """The web-scale join-based verification produces exactly the
+    broadcast path's pairs."""
+    a = dedup_ops.minhash_near_dups(planted_dir, threshold=0.5) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = dedup_ops.minhash_near_dups(planted_dir, threshold=0.5,
+                                    verify="join") \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert (0, 1) in set(zip(b["doc_a"], b["doc_b"]))
