@@ -81,7 +81,10 @@ def read_cord_papers(zip_paths: list[str]) -> ray.data.Dataset:
         for name in zf.namelist():
             if not name.endswith(".json"):
                 continue
-            doc = json.loads(zf.read(name))
+            try:
+                doc = json.loads(zf.read(name))
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                continue  # per-record skip (intact.py:183-184 semantics)
             terms, names = _paper_terms(doc)
             yield {
                 "paper_id": doc["paper_id"],

@@ -131,3 +131,18 @@ def test_cooccurrence_transform_reference_fixture(ray_session):
     # term nodes: one row per gated occurrence (quirk preserved)
     assert len(ndf) == len(papers) + term_rows
     assert (ndf["provided_by"] == "scibite_cord co-occurrences").all()
+
+
+def test_cord_reader_skips_corrupt_member(ray_session, tmp_path):
+    """A corrupt JSON member must not kill the job (per-record skip)."""
+    import json as _json
+    src = zipfile.ZipFile(os.path.join(FIXDIR, ZIPS[0]))
+    out_zip = tmp_path / "mixed.zip"
+    with zipfile.ZipFile(out_zip, "w") as zf:
+        names = [n for n in src.namelist() if n.endswith(".json")]
+        zf.writestr(names[0], src.read(names[0]))  # one good paper
+        zf.writestr("broken.json", b"{not json")
+    papers = cord.read_cord_papers([str(out_zip)]).take_all()
+    assert len(papers) == 1
+    assert papers[0]["paper_id"] == _json.loads(
+        src.read(names[0]))["paper_id"]

@@ -40,3 +40,17 @@ def test_mention_edges_invariant_to_block_layout(ray_session):
     a = mention_edges(canonical_mentions(extracted_docs(SF).repartition(2)))
     b = mention_edges(canonical_mentions(extracted_docs(SF).repartition(5)))
     assert _key(a.to_pandas()) == _key(b.to_pandas())
+
+
+def test_sorted_output_path(ray_session):
+    """O5: build_kg(sort_output=True) materializes deterministic
+    sorted order with identical content to the unsorted run."""
+    nodes_s, edges_s = build_kg(SF, sort_output=True)
+    ndf = nodes_s.to_pandas()
+    edf = edges_s.to_pandas()
+    assert ndf["id"].is_monotonic_increasing
+    assert (edf[["subject", "object"]]
+            .apply(tuple, axis=1).is_monotonic_increasing)
+    nodes_u, edges_u = build_kg(SF)
+    assert _key(ndf) == _key(nodes_u.to_pandas())
+    assert _key(edf) == _key(edges_u.to_pandas())
