@@ -165,8 +165,11 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
                   lambda: exact_dedup(big_root).count())
             timed("text_clean_big",
                   lambda: clean_corpus(big_root).count())
+            # join-based verification: the web-scale path (no driver
+            # holds the corpus; candidates hash-join against documents)
             timed("dedup_minhash_big",
-                  lambda: minhash_near_dups(big_root).count())
+                  lambda: minhash_near_dups(big_root,
+                                            verify="join").count())
         except ImportError:
             pass
 
