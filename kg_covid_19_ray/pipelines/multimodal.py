@@ -211,8 +211,58 @@ WHERE doc_id % 3 = 2
 """
 
 
+MEDIA_PAIR_TOPK = 25
+
+
+def media_near_dups(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal -> similarity composition: decode + thumbnail each
+    asset (the fake-codec feature vector), then find the
+    MEDIA_PAIR_TOPK most-cosine-similar asset pairs — the image
+    near-duplicate detector's dataflow (decode actors feeding a
+    broadcast-side pairwise scorer). Rows-only driver check (the
+    features come from the fake decode)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    thumbs = media_thumbnails(sf_dir)
+    # small side: asset thumbnail matrix broadcast once
+    all_rows = thumbs.take_all()
+    ids = np.array([r["asset_id"] for r in all_rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.stack([np.asarray(all_rows[i]["thumb"], dtype=np.float64)
+                    for i in order])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    ref = ray.put((ids, mat))
+
+    def pair_scores(batch: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_n = ray.get(ref)
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["thumb"]])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+        cos = m @ all_n.T
+        bids = batch["asset_id"].to_numpy()
+        bi, ai = np.nonzero(bids[:, None] < all_ids[None, :])
+        a, b, c = bids[bi], all_ids[ai], cos[bi, ai]
+        c = np.floor(np.abs(c) * 1e6 + 0.5) / 1e6 * np.sign(c)
+        if len(c) > MEDIA_PAIR_TOPK:
+            top = np.lexsort((b, a, -c))[:MEDIA_PAIR_TOPK]
+            a, b, c = a[top], b[top], c[top]
+        return pd.DataFrame({"asset_a": a.astype(np.int64),
+                             "asset_b": b.astype(np.int64),
+                             "cos": c})
+
+    partials = thumbs.map_batches(pair_scores, batch_format="pandas",
+                                  batch_size=MEDIA_BATCH)
+    return partials.sort(["cos", "asset_a", "asset_b"],
+                         descending=[True, False, False]) \
+                   .limit(MEDIA_PAIR_TOPK)
+
+
 REGISTRY = {
     "media_meta_stats": (media_meta_stats, MEDIA_META_STATS_SQL),
+    "media_near_dups": (media_near_dups, None),  # fake-decode features
     "media_frame_sample": (media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
     "media_features": (media_features, None),   # fake-decode features
     "media_thumbnails": (media_thumbnails, None),  # fake-decode resize

@@ -84,3 +84,15 @@ def test_media_frame_sample_stride(ray_session):
         nf = 8 + int(aid) % 8
         assert sorted(g["frame_idx"]) == list(
             range(0, nf, multimodal.FRAME_STEP))
+
+
+def test_media_near_dups_composition(ray_session):
+    """Multimodal decode feeding pairwise similarity: top-K asset
+    pairs, deterministic, no self pairs, ordered pairs only."""
+    out1 = multimodal.media_near_dups(SF).to_pandas()
+    assert len(out1) == multimodal.MEDIA_PAIR_TOPK
+    assert (out1["asset_a"] < out1["asset_b"]).all()
+    assert out1["cos"].between(-1.0, 1.0).all()
+    out2 = multimodal.media_near_dups(SF).to_pandas()
+    key = lambda df: list(map(tuple, df.to_numpy()))
+    assert key(out1) == key(out2)
