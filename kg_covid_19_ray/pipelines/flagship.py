@@ -145,7 +145,9 @@ def kg_nodes(source: str | ray.data.Dataset,
             "provided_by": pa.array([gz.PROVIDED_BY] * n),
         })
 
-    pubs = docs.map_batches(pub_nodes, batch_format="pyarrow")
+    # project early: the publication branch needs only (doc_id, title)
+    pubs = docs.select_columns(["doc_id", "title"]) \
+               .map_batches(pub_nodes, batch_format="pyarrow")
 
     if mentions is None:
         mentions = canonical_mentions(source)
