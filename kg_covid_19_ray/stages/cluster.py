@@ -49,6 +49,57 @@ def _fingerprint(labels: ray.data.Dataset) -> int:
     return int(out["total"])
 
 
+def _pointer_jump(labels: ray.data.Dataset, *,
+                  num_buckets: int) -> ray.data.Dataset:
+    """label(x) <- label(label(x)) for every row of (member, label).
+
+    Emits each row into hash(label)'s bucket tagged ``kind=base`` and a
+    parent copy into hash(member)'s bucket tagged ``kind=parent``, then
+    merges within each bucket — a base row always finds its parent in
+    its own bucket because both route by the same hashed value."""
+    import numpy as np
+    import pandas as pd
+
+    def route(batch: pa.Table) -> pa.Table:
+        df = batch.select(["member", "label"]).to_pandas()
+        h_label = pd.util.hash_pandas_object(df["label"], index=False) \
+            .to_numpy() % np.uint64(num_buckets)
+        h_member = pd.util.hash_pandas_object(df["member"], index=False) \
+            .to_numpy() % np.uint64(num_buckets)
+        base = pa.table({
+            "member": pa.array(df["member"], pa.string()),
+            "label": pa.array(df["label"], pa.string()),
+            "kind": pa.array(["base"] * len(df)),
+            "__bucket": pa.array(h_label.astype(np.int64)),
+        })
+        parent = pa.table({
+            "member": pa.array(df["member"], pa.string()),
+            "label": pa.array(df["label"], pa.string()),
+            "kind": pa.array(["parent"] * len(df)),
+            "__bucket": pa.array(h_member.astype(np.int64)),
+        })
+        return pa.concat_tables([base, parent])
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        base = df[df["kind"] == "base"]
+        parent = df[df["kind"] == "parent"] \
+            .rename(columns={"member": "label", "label": "label2"})
+        out = base[["member", "label"]].merge(
+            parent[["label", "label2"]], on="label", how="left")
+        # a label is always a member; missing only if the parent row
+        # landed in a different... it cannot: same hash of same value
+        out["label"] = out["label2"].fillna(out["label"])
+        return pa.table({
+            "member": pa.array(out["member"], pa.string()),
+            "label": pa.array(out["label"], pa.string()),
+        })
+
+    return labels.map_batches(route, batch_format="pyarrow") \
+        .groupby("__bucket") \
+        .map_groups(merge_bucket, batch_format="pyarrow")
+
+
 def connected_components(
     edges: ray.data.Dataset,
     src: str = "a",
@@ -91,10 +142,30 @@ def connected_components(
         merged = cand.union(labels)
         labels = merged.groupby("member").aggregate(
             Min("label", alias_name="label")).materialize()
+        # POINTER JUMPING: label <- label(label). Plain neighbor
+        # propagation needs O(diameter) rounds — a 100-node same-as
+        # chain would exhaust max_rounds and silently return wrong
+        # components. Following the label table through itself halves
+        # path lengths each round -> O(log diameter). Every label value
+        # is itself a member, so the lookup is total.
+        #
+        # The jump is a BUCKETED merge, not Dataset.join: once a
+        # component collapses, one label value dominates and a hash
+        # join leaves most partitions empty — Ray's join loses the
+        # schema on empty partitions (ArrowInvalid FieldRef). Routing
+        # base rows by hash(label) and parent rows by hash(member)
+        # into shared buckets and pandas-merging inside each bucket is
+        # skew-proof: a hot label is ONE parent row per bucket.
+        labels = _pointer_jump(labels,
+                               num_buckets=num_partitions * 8).materialize()
         fp = _fingerprint(labels)
         if fp == prev_fp:
             break
         prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            f"rounds — raise max_rounds (graph diameter > 2^rounds)")
     return labels.rename_columns({"label": "canon"})
 
 

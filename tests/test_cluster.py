@@ -43,3 +43,33 @@ def test_components_chain_and_clique(ray_session):
     assert got["n11"] == "n00"
     assert got["t3"] == "t1"
     assert got["p2"] == "p1"
+
+
+def test_long_chain_converges_via_pointer_jumping(ray_session):
+    """A 100-node same-as chain (diameter 100) must fully collapse —
+    plain propagation would exhaust max_rounds and silently return
+    wrong components (regression for the pointer-jumping fix)."""
+    import ray.data
+    from kg_covid_19_ray.stages.cluster import connected_components
+    edges = ray.data.from_items(
+        [{"a": f"N:{i:04d}", "b": f"N:{i+1:04d}"} for i in range(100)])
+    out = connected_components(edges, num_partitions=4).to_pandas()
+    assert len(out) == 101
+    assert out["canon"].nunique() == 1
+    assert out["canon"].iloc[0] == "N:0000"
+
+
+def test_hub_component_and_disjoint_pairs(ray_session):
+    """Extreme label skew (one collapsed hub component) must not break
+    the jump exchange (regression: Ray join loses schema on empty
+    partitions), and disjoint pairs stay separate."""
+    import ray.data
+    from kg_covid_19_ray.stages.cluster import connected_components
+    edges = ray.data.from_items(
+        [{"a": "HUB:0", "b": f"S:{i:03d}"} for i in range(200)]
+        + [{"a": f"X{i}:a", "b": f"Y{i}:b"} for i in range(5)])
+    out = connected_components(edges, num_partitions=4).to_pandas()
+    star = out[out["member"].str.startswith(("HUB", "S"))]
+    assert star["canon"].nunique() == 1 and star["canon"].iloc[0] == "HUB:0"
+    pairs = out[out["member"].str.startswith(("X", "Y"))]
+    assert pairs["canon"].nunique() == 5
