@@ -14,7 +14,9 @@ per the custom-operator guidance):
 - JSON property aggregate: vectorized regex field extraction from the
   ``props`` JSON column (M18-at-scale: no per-row json.loads).
 
-All outputs rounded half-even via SQL-compatible round(x, 6).
+All rounding is half-away-from-zero (DuckDB ``round()`` semantics);
+numpy's ``np.round`` is half-to-even and silently diverges on .5
+boundaries, so it must never be used here.
 """
 
 from __future__ import annotations
@@ -24,6 +26,11 @@ import pandas as pd
 import ray.data
 
 SESSION_GAP_MIN = 30
+
+
+def _round_half_away(arr: np.ndarray, ndigits: int) -> np.ndarray:
+    scale = 10.0 ** ndigits
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
 
 
 def _read_events(sf_dir: str, cols: list[str]) -> ray.data.Dataset:
@@ -47,8 +54,8 @@ def sessions(sf_dir: str) -> ray.data.Dataset:
             "user_id": g["user_id"].iloc[0],
             "session_idx": agg.index.to_numpy(),
             "n_events": agg["n_events"].to_numpy(dtype=np.int64),
-            "duration_sec": np.round(dur.to_numpy(), 6),
-            "sum_value": np.round(agg["sum_value"].to_numpy(), 6),
+            "duration_sec": _round_half_away(dur.to_numpy(), 6),
+            "sum_value": _round_half_away(agg["sum_value"].to_numpy(), 6),
         })
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
@@ -64,8 +71,11 @@ WITH o AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
     SELECT user_id, ts, value,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+           -- CAST: DuckDB's windowed sum() is HUGEINT, which lands in
+           -- pandas as float64 and hash-mismatches the int64 Ray column
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS session_idx
     FROM o
 )
 SELECT user_id, session_idx,
@@ -91,7 +101,7 @@ def asof_error_click(sf_dir: str) -> ray.data.Dataset:
             return pd.DataFrame({
                 "error_event_id": pd.Series([], dtype=np.int64),
                 "user_id": pd.Series([], dtype=np.int64),
-                "click_event_id": pd.Series([], dtype="Int64"),
+                "click_event_id": pd.Series([], dtype=np.float64),
                 "gap_sec": pd.Series([], dtype=np.float64)})
         m = pd.merge_asof(
             errors[["event_id", "ts"]],
@@ -102,8 +112,11 @@ def asof_error_click(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame({
             "error_event_id": m["event_id"].to_numpy(dtype=np.int64),
             "user_id": g["user_id"].iloc[0],
-            "click_event_id": m["click_event_id"].astype("Int64"),
-            "gap_sec": np.round(gap.to_numpy(), 6),
+            # float64 with NaN for unmatched, matching how an SQL engine's
+            # nullable-int result lands in pandas (avoids Int64-vs-float
+            # hash divergence in the driver compare)
+            "click_event_id": m["click_event_id"].astype(np.float64),
+            "gap_sec": _round_half_away(gap.to_numpy(), 6),
         })
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
@@ -143,7 +156,8 @@ def props_avg(sf_dir: str) -> ray.data.Dataset:
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "event_type": batch["event_type"],
-            "avg_k": np.round(batch["k_sum"] / batch["n"], 6),
+            "avg_k": _round_half_away(
+                (batch["k_sum"] / batch["n"]).to_numpy(), 6),
             "n": batch["n"].astype(np.int64),
         })
 
@@ -170,7 +184,10 @@ def sliding_count(sf_dir: str) -> ray.data.Dataset:
         g = g.sort_values("ts", kind="mergesort")
         ts = g["ts"].to_numpy()
         lo = np.searchsorted(ts, ts - np.timedelta64(1, "h"), side="left")
-        n_in_window = np.arange(1, len(g) + 1) - lo
+        # RANGE frame: peer rows (identical ts) all count for each other,
+        # so the upper bound is searchsorted side='right', not row index.
+        hi = np.searchsorted(ts, ts, side="right")
+        n_in_window = hi - lo
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
             "user_id": g["user_id"].to_numpy(),
@@ -262,7 +279,8 @@ def range_join_buckets(sf_dir: str) -> ray.data.Dataset:
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["n"] = batch["n"].astype(np.int64)
-        batch["value_sum"] = np.round(batch["value_sum"], 2)
+        batch["value_sum"] = _round_half_away(
+            batch["value_sum"].to_numpy(), 2)
         return batch[["event_type", "bucket", "n", "value_sum"]]
 
     return totals.map_batches(finalize, batch_format="pandas")
