@@ -65,7 +65,12 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     def reduce_bucket(t: pa.Table) -> pa.Table:
         agg = t.group_by("fp", use_threads=False).aggregate(
             [("keep_doc_id", "min"), ("n_docs", "sum")])
-        return agg.rename_columns(["fp", "keep_doc_id", "n_docs"])
+        # rename by NAME, not position: pyarrow has moved the key column
+        # across versions, positional renaming would silently swap labels
+        # (dict-based rename_columns needs pyarrow>=17, so map manually)
+        remap = {"keep_doc_id_min": "keep_doc_id", "n_docs_sum": "n_docs"}
+        agg = agg.rename_columns([remap.get(c, c) for c in agg.column_names])
+        return agg.select(["fp", "keep_doc_id", "n_docs"])
 
     return partials.map_batches(add_bucket, batch_format="pandas") \
                    .groupby("__bucket") \
@@ -256,17 +261,18 @@ def _minhash_bands(batch: pd.DataFrame) -> pd.DataFrame:
 
 def minhash_near_dups(sf_dir: str,
                       threshold: float = MINHASH_THRESHOLD,
-                      verify: str = "broadcast") -> ray.data.Dataset:
+                      verify: str = "join") -> ray.data.Dataset:
     """MinHash+LSH near-duplicate pairs, verified with exact shingle
     Jaccard >= threshold. Candidate generation is the canonical
     shingle -> minhash -> band -> bucket-groupby dataflow.
 
     ``verify``:
+    - ``"join"`` (default — the WEB-SCALE path): candidate pairs
+      hash-joined against the documents table twice (on doc_a, then
+      doc_b), so no node ever holds the full corpus;
     - ``"broadcast"``: doc->text map broadcast once via ``ray.put`` —
-      right while the corpus text fits comfortably in the object store;
-    - ``"join"``: the WEB-SCALE path — candidate pairs hash-joined
-      against the documents table twice (on doc_a, then doc_b), so no
-      node ever holds the full corpus; identical output."""
+      an opt-in shortcut while the corpus text fits comfortably in the
+      object store; identical output."""
     import pyarrow.parquet as pq
     import ray
 
@@ -394,11 +400,15 @@ _SHIFTS = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
 def _token_bits(tok: str, cache: dict[str, np.ndarray]) -> np.ndarray:
     """+1/-1 bit vector for one token (md5-derived), memoized: corpora
-    share a small vocabulary, so each distinct token hashes once."""
+    share a small vocabulary, so each distinct token hashes once.
+
+    Little-endian read of the first 8 digest bytes — the same uint64 an
+    SQL engine's md5_number_upper() yields, so the simhash oracle can
+    share the hash function."""
     v = cache.get(tok)
     if v is None:
         h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
-                                     "big"))
+                                     "little"))
         bits = ((h >> _SHIFTS) & np.uint64(1)).astype(np.int64)
         v = np.where(bits == 1, 1, -1).astype(np.int64)
         cache[tok] = v
@@ -485,9 +495,66 @@ def simhash_near_dups(sf_dir: str) -> ray.data.Dataset:
     return first_wins(pairs, ["doc_a", "doc_b"], "hamming")
 
 
+# Oracle for the MinHash-LSH verified output. The exact-Jaccard
+# thresholded pair set is SQL-expressible (all-pairs shingle Jaccard);
+# the LSH candidate stage is a deterministic superset-filter whose miss
+# probability at J >= 0.8 with 16 bands x 4 rows is (1 - J^4)^16 <= 2e-4
+# — and with fixed hash constants the sf0.01/sf0.001 outputs are
+# verified equal to the exact set (test_training_ops), so the comparison
+# is stable, not probabilistic. Two caveats folded in: the w<3 fallback
+# shingles the whole text, and the threshold is applied to the
+# 6-digit-rounded value on both sides.
+MINHASH_VERIFIED_SQL = f"""
+WITH t AS (
+    SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) < {SHINGLE_W} THEN [text]
+                ELSE list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+           END AS s0
+    FROM t
+), d AS (SELECT doc_id, list_distinct(s0) AS s FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6)
+           AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.s, b.s))::DOUBLE
+            / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6)
+      >= {MINHASH_THRESHOLD}
+"""
+
+# Oracle for SimHash: the 4-segment pigeonhole blocking is EXACT for
+# hamming <= 3 (any such pair agrees on >= 1 untouched 16-bit segment),
+# so the output equals the full all-pairs hamming filter — directly
+# SQL-expressible. md5_number_upper() is the same little-endian uint64
+# _token_bits reads from the digest.
+SIMHASH_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), th AS (
+    SELECT doc_id, md5_number_upper(tok) AS h FROM tok
+), acc AS (
+    SELECT doc_id, s,
+           sum(CASE WHEN (h >> s) & 1 = 1 THEN 1 ELSE -1 END) AS a
+    FROM th CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS s) pos
+    GROUP BY doc_id, s
+), sig AS (
+    SELECT doc_id,
+           sum(CASE WHEN a > 0 THEN (1::UBIGINT << s)
+                    ELSE 0::UBIGINT END)::UBIGINT AS sig
+    FROM acc GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
+"""
+
 REGISTRY = {
     "dedup_exact": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_jaccard_topk": (jaccard_topk_pairs, JACCARD_TOPK_SQL),
-    "dedup_minhash": (minhash_near_dups, None),  # non-SQL: LSH dataflow
-    "dedup_simhash": (simhash_near_dups, None),  # non-SQL: bitwise sketch
+    "dedup_minhash": (minhash_near_dups, MINHASH_VERIFIED_SQL),
+    "dedup_simhash": (simhash_near_dups, SIMHASH_SQL),
 }

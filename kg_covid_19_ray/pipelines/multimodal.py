@@ -217,35 +217,56 @@ MEDIA_PAIR_TOPK = 25
 def media_near_dups(sf_dir: str) -> ray.data.Dataset:
     """Multimodal -> similarity composition: decode + thumbnail each
     asset (the fake-codec feature vector), then find the
-    MEDIA_PAIR_TOPK most-cosine-similar asset pairs — the image
-    near-duplicate detector's dataflow (decode actors feeding a
-    broadcast-side pairwise scorer). Rows-only driver check (the
-    features come from the fake decode)."""
+    MEDIA_PAIR_TOPK most-cosine-similar asset pairs among LSH candidate
+    pairs — the image near-duplicate detector's dataflow. Rows-only
+    driver check (the features come from the fake decode).
+
+    Web-scale shape: NO driver materialization — the thumbnail Dataset
+    is hashed into hyperplane-LSH buckets (reusing similarity's seeded
+    planes), pairs are scored only within a bucket, per-bucket partial
+    top-k, then one small global sort+limit. Thumbnails are mean-
+    centered before hashing (area-averaged pixel vectors are nearly
+    parallel in the raw space, which would collapse every asset into
+    one bucket); the re-rank cosine stays in the raw space."""
     import numpy as np
     import pandas as pd
-    import ray
+
+    from kg_covid_19_ray.pipelines.similarity import (LSH_TABLES,
+                                                      _signatures)
 
     thumbs = media_thumbnails(sf_dir)
-    # small side: asset thumbnail matrix broadcast once
-    all_rows = thumbs.take_all()
-    ids = np.array([r["asset_id"] for r in all_rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    mat = np.stack([np.asarray(all_rows[i]["thumb"], dtype=np.float64)
-                    for i in order])
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-    ref = ray.put((ids, mat))
 
-    def pair_scores(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_n = ray.get(ref)
+    def emit_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in batch["thumb"]])
+        centered = mat - mat.mean(axis=1, keepdims=True)
+        sigs = _signatures(centered)  # (n, LSH_TABLES)
+        n = len(batch)
+        return pd.DataFrame({
+            "table_id": np.repeat(np.arange(LSH_TABLES, dtype=np.int32), n),
+            "bucket": sigs.T.reshape(-1),
+            "asset_id": np.tile(batch["asset_id"].to_numpy(), LSH_TABLES),
+            "thumb": list(batch["thumb"]) * LSH_TABLES,
+        })
+
+    buckets = thumbs.map_batches(emit_buckets, batch_format="pandas",
+                                 batch_size=MEDIA_BATCH)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("asset_id").drop_duplicates("asset_id")
+        if len(g) < 2:
+            return pd.DataFrame({"asset_a": pd.Series([], dtype=np.int64),
+                                 "asset_b": pd.Series([], dtype=np.int64),
+                                 "cos": pd.Series([], dtype=np.float64)})
+        ids = g["asset_id"].to_numpy()
         m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in batch["thumb"]])
+                      for v in g["thumb"]])
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        cos = m @ all_n.T
-        bids = batch["asset_id"].to_numpy()
-        bi, ai = np.nonzero(bids[:, None] < all_ids[None, :])
-        a, b, c = bids[bi], all_ids[ai], cos[bi, ai]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        c = (m @ m.T)[ia, ib]
         c = np.floor(np.abs(c) * 1e6 + 0.5) / 1e6 * np.sign(c)
+        a, b = ids[ia], ids[ib]
+        # per-bucket partial top-k (rounded-before-cut: union-safe)
         if len(c) > MEDIA_PAIR_TOPK:
             top = np.lexsort((b, a, -c))[:MEDIA_PAIR_TOPK]
             a, b, c = a[top], b[top], c[top]
@@ -253,11 +274,15 @@ def media_near_dups(sf_dir: str) -> ray.data.Dataset:
                              "asset_b": b.astype(np.int64),
                              "cos": c})
 
-    partials = thumbs.map_batches(pair_scores, batch_format="pandas",
-                                  batch_size=MEDIA_BATCH)
-    return partials.sort(["cos", "asset_a", "asset_b"],
-                         descending=[True, False, False]) \
-                   .limit(MEDIA_PAIR_TOPK)
+    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # a pair colliding in several tables appears once per table with the
+    # same cos — distinct on the full row collapses them
+    from kg_covid_19_ray.stages.dedup import distinct
+    pairs = distinct(pairs, ["asset_a", "asset_b", "cos"])
+    return pairs.sort(["cos", "asset_a", "asset_b"],
+                      descending=[True, False, False]) \
+                .limit(MEDIA_PAIR_TOPK)
 
 
 REGISTRY = {

@@ -277,7 +277,7 @@ IVF_CELLS = 32
 IVF_PROBES = 4
 
 
-def ann_ivf(sf_dir: str) -> ray.data.Dataset:
+def ann_ivf(sf_dir: str, probes: int = IVF_PROBES) -> ray.data.Dataset:
     """IVF-style approximate top-k: a seeded deterministic sample of
     IVF_CELLS vectors acts as the coarse quantizer; every vector is
     assigned to its nearest centroid cell; each query probes its
@@ -306,8 +306,8 @@ def ann_ivf(sf_dir: str) -> ray.data.Dataset:
                             1e-300)
     # per-query probed cells -> cell -> probing query rows
     probe_rank = np.argsort(-(qn @ cent_n.T), axis=1, kind="stable")
-    probes = probe_rank[:, :min(IVF_PROBES, cent_n.shape[0])]
-    state_ref = ray.put((q_ids, qn, cent_n, probes))
+    probe_sets = probe_rank[:, :min(probes, cent_n.shape[0])]
+    state_ref = ray.put((q_ids, qn, cent_n, probe_sets))
 
     class CellScorer:
         def __init__(self, ref):
@@ -416,10 +416,20 @@ LIMIT {PAIR_TOPK}
 """
 
 
+def ann_ivf_exact(sf_dir: str) -> ray.data.Dataset:
+    """IVF with probes = IVF_CELLS: every query probes every cell, so
+    the cells partition the table and the scan is exhaustive — the
+    output equals brute force and shares its SQL oracle. Exercises the
+    full IVF dataflow (assignment, probe routing, per-cell rerank)
+    under an exact-checkable contract."""
+    return ann_ivf(sf_dir, probes=IVF_CELLS)
+
+
 REGISTRY = {
     "ann_bruteforce": (ann_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_lsh": (ann_lsh, None),  # approximate: rows-only driver check
     "ann_ivf": (ann_ivf, None),  # approximate: rows-only driver check
+    "ann_ivf_exact": (ann_ivf_exact, ANN_BRUTEFORCE_SQL),
     "ann_knn_classify": (knn_classify, KNN_CLASSIFY_SQL),
     "embedding_pair_topk": (embedding_pair_topk, EMBEDDING_PAIR_TOPK_SQL),
 }
