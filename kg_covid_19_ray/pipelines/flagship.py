@@ -101,17 +101,29 @@ def canonical_mentions(source: str | ray.data.Dataset,
     return mentions.map_batches(add_order, batch_format="pyarrow")
 
 
-def mention_edges(mentions: ray.data.Dataset) -> ray.data.Dataset:
+def mention_edges(mentions: ray.data.Dataset, *,
+                  copartitioned: bool = True) -> ray.data.Dataset:
     """distinct (page, term) -> biolink:mentions edge rows (D2;
     scibite_cord.py:220-232 edge assembly).
 
     Dedup runs on the NARROW key (doc_id:int64, curie) BEFORE the
-    constant columns are attached. Because the detector emits all of a
-    page's mentions inside one block, (doc_id, curie) never repeats
-    across blocks — dedup is block-local and SHUFFLE-FREE
-    (``distinct_within_blocks``; assumption documented there). A
-    re-partitioned mention table must use ``distinct`` instead."""
-    pairs = distinct_within_blocks(mentions, ["doc_id", "curie"])
+    constant columns are attached. ``copartitioned=True`` (the default
+    for detector-produced mention tables): all of a page's mentions
+    live in one block, so dedup is block-local and SHUFFLE-FREE
+    (``distinct_within_blocks``). For any OTHER layout — a
+    repartitioned/reloaded mention table, or when the env flag
+    ``KG_RAY_SAFE_DEDUP=1`` forces it — pass/force
+    ``copartitioned=False`` to run the shuffled exact ``distinct``.
+    The co-partitioning claim is checkable at runtime with
+    ``stages.dedup.assert_blockwise_unique`` (exercised in tests)."""
+    import os
+    if os.environ.get("KG_RAY_SAFE_DEDUP") == "1":
+        copartitioned = False
+    if copartitioned:
+        pairs = distinct_within_blocks(mentions, ["doc_id", "curie"])
+    else:
+        pairs = distinct(mentions.select_columns(["doc_id", "curie"]),
+                         ["doc_id", "curie"])
 
     def assemble(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

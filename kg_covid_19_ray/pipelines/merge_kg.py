@@ -17,7 +17,9 @@ Pieces:
   — the KGX property-merge pinned deterministic.
 - Edge dedup: exact composite key (subject, predicate, object,
   relation, provided_by) — parallel edges with different keys survive
-  (MultiDiGraph semantics).
+  (MultiDiGraph semantics), and non-key edge properties (type, scores,
+  per-source channels) are carried on the kept row (first-wins by
+  source_rank), matching KGX's property-preserving merge.
 - Graph stats (A1, merge.yaml:114-122): counts per category /
   provided_by / predicate.
 """
@@ -179,15 +181,17 @@ def remap_node_identifier(nodes: ray.data.Dataset,
 
     def rewrite(cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
+            from kg_covid_19_ray.stages.linking import map_distinct
             m = ray.get(remap_ref)
             if not m:
                 return batch
             out = {}
             for c in batch.column_names:
                 if c in cols:
-                    vals = batch[c].to_pylist()
-                    out[c] = pa.array([m.get(v, v) for v in vals],
-                                      pa.string())
+                    # dictionary-encode -> map distinct -> take: cost
+                    # scales with distinct ids per batch, not rows
+                    out[c] = map_distinct(batch[c],
+                                          lambda v: m.get(v, v))
                 else:
                     out[c] = batch[c]
             return pa.table(out)
@@ -202,6 +206,19 @@ def remap_node_identifier(nodes: ray.data.Dataset,
 _OPERATIONS = {"remap_node_identifier": remap_node_identifier}
 
 
+def _filter_in(ds: ray.data.Dataset, column: str,
+               allowed: list[str]) -> ray.data.Dataset:
+    """Vectorized whitelist filter (merge.yaml:27-41): pc.is_in inside
+    map_batches, not a per-row Python predicate."""
+    value_set = pa.array(sorted(allowed), pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch[column], value_set=value_set))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def merge(config: MergeConfig) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Run the config-driven merge: filter -> schema-union -> ops ->
     node unify (D3) + edge exact dedup -> (nodes, edges)."""
@@ -213,11 +230,9 @@ def merge(config: MergeConfig) -> tuple[ray.data.Dataset, ray.data.Dataset]:
         node_cols.update(nodes.schema(fetch_if_missing=True).names)
         edge_cols.update(edges.schema(fetch_if_missing=True).names)
         if spec.node_categories is not None:
-            allowed = set(spec.node_categories)
-            nodes = nodes.filter(lambda r, a=allowed: r["category"] in a)
+            nodes = _filter_in(nodes, "category", spec.node_categories)
         if spec.edge_predicates is not None:
-            allowed = set(spec.edge_predicates)
-            edges = edges.filter(lambda r, a=allowed: r["predicate"] in a)
+            edges = _filter_in(edges, "predicate", spec.edge_predicates)
         node_tables.append(nodes)
         edge_tables.append(edges)
         ranks.append(rank)
@@ -230,8 +245,14 @@ def merge(config: MergeConfig) -> tuple[ray.data.Dataset, ray.data.Dataset]:
 
     nodes = _first_nonempty_unify(nodes, "id", "source_rank") \
         .drop_columns(["source_rank"])
-    from kg_covid_19_ray.stages.dedup import distinct
-    edges = distinct(edges.drop_columns(["source_rank"]), EDGE_KEY)
+    # Edge dedup must PRESERVE edge properties (type, combined_score,
+    # the per-source channel columns...) — the reference's KGX merge
+    # carries them into the merged graph. distinct() drops non-key
+    # columns, so dedup is a first-wins reduce keyed on the composite
+    # EDGE_KEY with source_rank as the deterministic order.
+    from kg_covid_19_ray.stages.dedup import first_wins
+    edges = first_wins(edges, EDGE_KEY, "source_rank") \
+        .drop_columns(["source_rank"])
     return nodes, edges
 
 

@@ -94,6 +94,27 @@ def distinct_within_blocks(ds: ray.data.Dataset,
     return ds.map_batches(per_batch, batch_format="pyarrow")
 
 
+def assert_blockwise_unique(ds: ray.data.Dataset, cols: list[str],
+                            *, num_buckets: int = DEFAULT_NUM_BUCKETS
+                            ) -> int:
+    """Runtime guard for ``distinct_within_blocks``'s co-partitioning
+    assumption: verifies no key appears in more than one block by
+    comparing the blockwise-deduped row count against the true global
+    distinct count (a shuffle of the already-narrow deduped keys —
+    debug/validation cost, not a hot-path stage). Returns the distinct
+    count; raises ``ValueError`` if the assumption is violated.
+    """
+    local = distinct_within_blocks(ds.select_columns(cols), cols)
+    local_rows = local.count()
+    global_rows = distinct(local, cols, num_buckets=num_buckets).count()
+    if local_rows != global_rows:
+        raise ValueError(
+            f"co-partitioning violated for key {cols}: blockwise dedup "
+            f"kept {local_rows} rows but only {global_rows} are globally "
+            f"distinct — a key crosses block boundaries; use distinct()")
+    return global_rows
+
+
 def distinct(ds: ray.data.Dataset, cols: list[str],
              *, num_buckets: int = DEFAULT_NUM_BUCKETS) -> ray.data.Dataset:
     """Exact distinct on a column subset (edge dedup D2: one edge per

@@ -76,3 +76,40 @@ def test_first_wins_hot_key_skew(ray_session):
     assert got_hot["payload"] == exp_hot["payload"]
     merged = out.merge(exp, on="id", suffixes=("_got", "_exp"))
     assert (merged["order_key_got"] == merged["order_key_exp"]).all()
+
+
+def test_assert_blockwise_unique_detects_violation(ray_session):
+    """The co-partitioning guard must raise when a key crosses block
+    boundaries, and pass (returning the distinct count) when it
+    doesn't."""
+    import pytest
+    import ray.data
+    from kg_covid_19_ray.stages.dedup import assert_blockwise_unique
+
+    # one duplicate key split across two blocks -> violation
+    bad = ray.data.from_items(
+        [{"k": 1, "v": "a"}, {"k": 1, "v": "b"}]).repartition(2)
+    with pytest.raises(ValueError, match="co-partitioning violated"):
+        assert_blockwise_unique(bad, ["k"])
+
+    ok = ray.data.from_items([{"k": i} for i in range(10)])
+    assert assert_blockwise_unique(ok, ["k"]) == 10
+
+
+def test_mention_edges_safe_path_under_repartition(ray_session, sf_small):
+    """D2 hardening: a REPARTITIONED mention table (the layout that
+    breaks the block-local assumption) run through the shuffled
+    distinct path must equal the detector-layout result."""
+    from kg_covid_19_ray.pipelines import flagship
+
+    mentions = flagship.canonical_mentions(sf_small)
+    fast = flagship.mention_edges(mentions).to_pandas()
+    safe = flagship.mention_edges(mentions.repartition(7),
+                                  copartitioned=False).to_pandas()
+    key = ["subject", "object"]
+    a = fast.sort_values(key).reset_index(drop=True)
+    b = safe.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    # the detector-produced layout really is co-partitioned
+    from kg_covid_19_ray.stages.dedup import assert_blockwise_unique
+    assert_blockwise_unique(mentions, ["doc_id", "curie"])

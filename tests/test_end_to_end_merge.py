@@ -52,6 +52,12 @@ def test_two_source_transform_then_merge(ray_session, tmp_path):
     assert sp_row["xrefs"] == "UniProtKB:P84085"
     # edges: 21 DC + 9 STRING survive exact dedup (disjoint keys)
     assert len(edf) == 30
+    # edge PROPERTIES survive the dedup (KGX merge keeps them): the
+    # STRING combined_score column is present and non-empty on STRING
+    # edges, empty/null on DrugCentral ones
+    assert "combined_score" in edf.columns
+    sp_scores = edf[edf["provided_by"] != "drug_central"]["combined_score"]
+    assert (sp_scores.fillna("") != "").any()
     # A1 stats over the merged graph
     stats = merge_kg.graph_stats(nodes, edges)
     assert stats["total_nodes"] == 33 and stats["total_edges"] == 30
