@@ -75,7 +75,8 @@ def _register_builtin() -> None:
 
     # reference-parity plugins self-register on import
     import importlib
-    for mod in ("drug_central", "string_ppi", "chembl", "gene_annot"):
+    for mod in ("drug_central", "string_ppi", "chembl", "gene_annot",
+                "zhou"):
         importlib.import_module(f"kg_covid_19_ray.pipelines.{mod}")
 
 

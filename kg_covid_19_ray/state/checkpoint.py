@@ -37,15 +37,24 @@ import ray.data
 
 
 def fingerprint_for_path(path: str, *extra: str) -> str:
-    """Content key for a file/dir input: path + mtimes + extras."""
+    """Content key for a file/dir input: path + recursive file stats +
+    extras. Directories are walked RECURSIVELY (relative path + mtime +
+    size of every file): a parquet part nested under a subdirectory
+    does not bump its parent's mtime, so a shallow listing would resume
+    a stale checkpoint over changed input."""
     h = hashlib.md5()
     h.update(path.encode())
     if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            p = os.path.join(path, name)
-            h.update(f"{name}:{os.path.getmtime(p):.0f}".encode())
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames.sort()
+            for name in sorted(filenames):
+                p = os.path.join(dirpath, name)
+                rel = os.path.relpath(p, path)
+                st = os.stat(p)
+                h.update(f"{rel}:{st.st_mtime:.0f}:{st.st_size}".encode())
     elif os.path.exists(path):
-        h.update(f"{os.path.getmtime(path):.0f}".encode())
+        st = os.stat(path)
+        h.update(f"{st.st_mtime:.0f}:{st.st_size}".encode())
     for e in extra:
         h.update(e.encode())
     return h.hexdigest()[:16]

@@ -71,3 +71,25 @@ def test_fingerprint_for_path_changes_with_extras(tmp_path):
     b = cp.fingerprint_for_path(str(p), "config=1")
     assert a != b and len(a) == 16
     assert cp.fingerprint_for_path(str(p)) == a  # stable
+
+
+def test_fingerprint_sees_nested_changes(tmp_path):
+    """A file modified inside a SUBDIRECTORY must change the directory
+    fingerprint (parent-dir mtimes don't propagate; the walk must be
+    recursive)."""
+    import os
+    import time
+    from kg_covid_19_ray.state.checkpoint import fingerprint_for_path
+
+    root = tmp_path / "input"
+    sub = root / "part=0"
+    sub.mkdir(parents=True)
+    f = sub / "data.parquet"
+    f.write_bytes(b"v1")
+    fp1 = fingerprint_for_path(str(root))
+    # rewrite the nested file with different content size + mtime,
+    # leaving the subdirectory entry itself untouched
+    f.write_bytes(b"v2-longer")
+    os.utime(f, (time.time() + 10, time.time() + 10))
+    fp2 = fingerprint_for_path(str(root))
+    assert fp1 != fp2
