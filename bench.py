@@ -203,26 +203,46 @@ def run_scaling(sf_dir: str) -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N and 4N. Default 4->16: both levels leave headroom under the
-    # machine's 32 hardware threads, so the measurement reflects the
-    # pipeline's scaling rather than contention with Ray's own system
-    # processes at full subscription (see BASELINE.md for the full
-    # 4/8/16/32 curve).
+    # Two N-vs-4N pairs, four fresh runs total. The PROTOCOL pair
+    # (default 4->16) leaves headroom under the machine's 32 hardware
+    # threads, so it measures the pipeline's scaling rather than
+    # contention with Ray's own system processes; the 8->32 pair is
+    # reported alongside because 32 is the driver's bench config (its
+    # tail includes the known full-subscription raylet/driver
+    # contention — see BASELINE.md).
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    lo2 = int(os.environ.get("GRAFT_SCALE_LO2", "8"))
+    hi2 = int(os.environ.get("GRAFT_SCALE_HI2", "32"))
+    # best-of-N fresh runs per level: single runs on a shared box swing
+    # tens of percent (page cache, raylet teardown overlap), which can
+    # make a 4-run sweep report superlinear nonsense; min-of-2 is the
+    # cheapest stable estimator of the machine's true capability
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
+    levels = sorted({lo, hi, lo2, hi2})
+    runs = {}
+    for n in levels:
+        best = None
+        for _ in range(reps):
+            r = run(n)
+            if best is None or r["value"] < best["value"]:
+                best = r
+        runs[n] = best
+
+    def eff(a: int, b: int) -> float:
+        return round((runs[a]["value"] / runs[b]["value"]) / (b / a), 3)
+
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": eff(lo, hi),
         "unit": "ratio",
         "cpus": [lo, hi],
-        "sec": {str(lo): t_lo, str(hi): t_hi},
-        "pages_per_sec": {str(lo): r_lo.get("pages_per_sec"),
-                          str(hi): r_hi.get("pages_per_sec")},
-        "triples_per_sec": {str(lo): r_lo.get("triples_per_sec"),
-                            str(hi): r_hi.get("triples_per_sec")},
+        "pairs": {f"{lo}->{hi}": eff(lo, hi), f"{lo2}->{hi2}": eff(lo2, hi2)},
+        "sec": {str(n): runs[n]["value"] for n in levels},
+        "pages_per_sec": {str(n): runs[n].get("pages_per_sec")
+                          for n in levels},
+        "triples_per_sec": {str(n): runs[n].get("triples_per_sec")
+                            for n in levels},
         "sf": sf_dir,
     }
 

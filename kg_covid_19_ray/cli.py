@@ -100,6 +100,14 @@ def cmd_merge(args: argparse.Namespace) -> int:
             ray.data.read_parquet(os.path.join(args.output_dir,
                                                "merged_edges")),
             os.path.join(args.output_dir, "merged_edges_nt"))
+    if args.tar:
+        from kg_covid_19_ray.io.kgx import write_merged_tar
+        write_merged_tar(
+            ray.data.read_parquet(os.path.join(args.output_dir,
+                                               "merged_nodes")),
+            ray.data.read_parquet(os.path.join(args.output_dir,
+                                               "merged_edges")),
+            os.path.join(args.output_dir, "merged-kg.tar.gz"))
     return 0
 
 
@@ -164,6 +172,9 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--stats", action="store_true")
     m.add_argument("--tsv", action="store_true")
     m.add_argument("--nt", action="store_true")
+    m.add_argument("--tar", action="store_true",
+                   help="package merged TSVs as merged-kg.tar.gz "
+                        "(reference merge.yaml destination layout)")
     m.set_defaults(fn=cmd_merge)
 
     q = sub.add_parser("query", help="run a registered query")

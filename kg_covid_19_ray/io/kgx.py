@@ -72,17 +72,62 @@ def _stringify(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def _tsv_args() -> dict:
-    # built lazily on the writing worker: WriteOptions is not picklable
-    return {"write_options": pacsv.WriteOptions(delimiter="\t")}
+def _tsv_line_table(batch: pa.Table) -> pa.Table:
+    """Stringified batch -> one raw tab-joined line per row, plus the
+    header line as metadata column (constant per batch). Structural
+    characters inside cells are scrubbed to spaces — the reference
+    relies on its upstream scrubber for this (M19,
+    scibite_cord.py:157); the sink enforces the same invariant so a
+    stray tab can never corrupt the column layout."""
+    batch = _stringify(batch)
+    cols = []
+    for name in batch.column_names:
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols.append(pc.replace_substring_regex(col, r"[\t\n\r]", " "))
+    if len(cols) == 1:
+        lines = cols[0]
+    else:
+        lines = pc.binary_join_element_wise(*cols, "\t")
+    header = "\t".join(batch.column_names)
+    return pa.table({
+        "line": lines,
+        "__header": pa.array([header] * batch.num_rows, pa.string()),
+    })
+
+
+class _RawTsvDatasink:
+    """Raw header-carrying TSV part files (no quoting — the byte layout
+    of the reference's ``write_node_edge_item``, transform_utils:71-85).
+    Arrow's CSV writer always quotes the header row and any cell it
+    considers structural, so the sink writes lines directly."""
+
+    def __new__(cls, path: str):
+        from ray.data.datasource import BlockBasedFileDatasink
+
+        class _Sink(BlockBasedFileDatasink):
+            def __init__(self, p):
+                super().__init__(p, file_format="tsv")
+
+            def write_block_to_file(self, block, file) -> None:
+                t = block.to_arrow()
+                if t.num_rows == 0:
+                    return
+                header = t["__header"][0].as_py()
+                body = "\n".join(t["line"].to_pylist())
+                file.write((header + "\n" + body + "\n").encode("utf-8"))
+
+        return _Sink(path)
 
 
 def write_kgx_tsv(ds: ray.data.Dataset, out_dir: str) -> None:
     """Directory of tab-separated, header-carrying part files — the
     distributed KGX TSV sink (one part per block; resumable output
-    layout per the north rule)."""
-    ds.map_batches(_stringify, batch_format="pyarrow") \
-      .write_csv(out_dir, arrow_csv_args_fn=_tsv_args)
+    layout per the north rule). Raw cells, no quoting (reference
+    write_node_edge_item parity)."""
+    ds.map_batches(_tsv_line_table, batch_format="pyarrow") \
+      .write_datasink(_RawTsvDatasink(out_dir))
 
 
 def write_kgx_tsv_single(ds: ray.data.Dataset, out_path: str,
@@ -137,3 +182,44 @@ def write_ntriples(edges: ray.data.Dataset, out_dir: str) -> None:
     """Directory of .nt part files (one per block)."""
     edges.map_batches(to_ntriple_lines, batch_format="pyarrow") \
          .write_csv(out_dir, arrow_csv_args_fn=_nt_args)
+
+
+def write_merged_tar(nodes: ray.data.Dataset, edges: ray.data.Dataset,
+                     out_path: str, *, filename: str = "merged-kg") -> None:
+    """Merged-graph archive parity (reference merge.yaml:123-127:
+    ``format: tsv, compression: tar.gz, filename: merged-kg``): one
+    ``<out_path>`` tar.gz holding ``<filename>_nodes.tsv`` and
+    ``<filename>_edges.tsv``.
+
+    Scale shape: each table is first written as a DIRECTORY of
+    header-carrying TSV parts by the distributed sink, then the parts
+    are stream-concatenated disk-to-disk (headers of parts after the
+    first skipped) and tar'd — no table is ever held in memory; the
+    only single-threaded step is the unavoidable byte copy into the
+    single archive the reference format demands."""
+    import glob
+    import shutil
+    import tarfile
+    import tempfile
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with tempfile.TemporaryDirectory(
+            dir=os.path.dirname(out_path) or ".") as tmp:
+        members = []
+        for tag, ds in (("nodes", nodes), ("edges", edges)):
+            part_dir = os.path.join(tmp, f"{tag}_parts")
+            write_kgx_tsv(ds, part_dir)
+            concat = os.path.join(tmp, f"{filename}_{tag}.tsv")
+            with open(concat, "wb") as out:
+                first = True
+                for part in sorted(glob.glob(os.path.join(part_dir, "*"))):
+                    with open(part, "rb") as src:
+                        header = src.readline()
+                        if first:
+                            out.write(header)
+                            first = False
+                        shutil.copyfileobj(src, out)
+            members.append(concat)
+        with tarfile.open(out_path, "w:gz") as tar:
+            for m in members:
+                tar.add(m, arcname=os.path.basename(m))

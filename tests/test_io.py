@@ -146,3 +146,36 @@ def test_read_ntriples_gocam_reference_fixture(ray_session):
     assert "biolink:related_to" in set(out["predicate"])
     # unknown IRIs pass through unchanged (no false contraction)
     assert out["subject"].str.startswith("http").any()
+
+
+def test_write_merged_tar_layout(ray_session, tmp_path):
+    """Reference merge.yaml:123-127 destination: merged-kg.tar.gz with
+    <filename>_nodes.tsv / <filename>_edges.tsv, headers intact, part
+    headers not duplicated."""
+    import tarfile
+
+    import ray.data
+
+    from kg_covid_19_ray.io.kgx import write_merged_tar
+
+    nodes = ray.data.from_items(
+        [{"id": f"N:{i}", "name": f"n{i}", "category": "biolink:Gene"}
+         for i in range(20)]).repartition(4)
+    edges = ray.data.from_items(
+        [{"subject": f"N:{i}", "predicate": "biolink:related_to",
+          "object": f"N:{i+1}"} for i in range(19)]).repartition(3)
+    out = str(tmp_path / "merged-kg.tar.gz")
+    write_merged_tar(nodes, edges, out)
+
+    with tarfile.open(out) as tar:
+        names = sorted(tar.getnames())
+        assert names == ["merged-kg_edges.tsv", "merged-kg_nodes.tsv"]
+        node_lines = tar.extractfile("merged-kg_nodes.tsv") \
+                        .read().decode().splitlines()
+        edge_lines = tar.extractfile("merged-kg_edges.tsv") \
+                        .read().decode().splitlines()
+    assert len(node_lines) == 21 and len(edge_lines) == 20
+    assert node_lines[0].split("\t") == ["id", "name", "category"]
+    assert sum(1 for l in node_lines if l.startswith("id\t")) == 1
+    assert {l.split("\t")[0] for l in node_lines[1:]} == \
+        {f"N:{i}" for i in range(20)}
