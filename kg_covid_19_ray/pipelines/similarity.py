@@ -175,7 +175,8 @@ def ann_lsh(sf_dir: str) -> ray.data.Dataset:
     LSH_TABLES x 2^LSH_BITS buckets; a query's candidates are all
     vectors sharing any bucket; exact cosine re-rank of candidates.
     Recall < 1 by design — the scale path when brute force can't sweep.
-    Non-SQL (rows-only driver check); tests measure recall against
+    Oracle: the seeded planes are literal-embedded in SQL
+    (``_ann_lsh_sql``); tests additionally measure recall against
     ann_bruteforce."""
     query_ref = ray.put(_load_queries(sf_dir))
 
@@ -278,14 +279,17 @@ IVF_PROBES = 4
 
 
 def ann_ivf(sf_dir: str, probes: int = IVF_PROBES) -> ray.data.Dataset:
-    """IVF-style approximate top-k: a seeded deterministic sample of
-    IVF_CELLS vectors acts as the coarse quantizer; every vector is
-    assigned to its nearest centroid cell; each query probes its
-    IVF_PROBES nearest cells and exact-reranks only vectors in those
-    cells. No shuffle at all: centroids + query probe-sets are
-    broadcast, assignment and reranking are per-batch matmuls, the
-    final per-query reduce sees <= k x blocks rows (same union-safe
-    rounded partial top-k as brute force).
+    """IVF-style approximate top-k: the IVF_CELLS lexicographically-
+    first vectors act as the coarse (fixture) quantizer; every vector
+    is assigned to its nearest centroid cell (cosine argmax, ties to
+    the lowest centroid id); each query probes its ``probes`` nearest
+    cells and exact-reranks only vectors in those cells. No shuffle at
+    all: centroids + query probe-sets are broadcast, assignment and
+    reranking are per-batch matmuls, the final per-query reduce sees
+    <= k x blocks rows (same union-safe rounded partial top-k as brute
+    force). First-by-id centroid choice is as arbitrary as a seeded
+    sample for synthetic fixtures but SQL-reproducible, which buys the
+    query a full value oracle (``ANN_IVF_SQL``).
 
     At web scale the quantizer becomes a trained k-means loaded in the
     actor ``__init__``; the dataflow is unchanged."""
@@ -294,10 +298,9 @@ def ann_ivf(sf_dir: str, probes: int = IVF_PROBES) -> ray.data.Dataset:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"]).sort_by("vec_id")
     n = t.num_rows
-    rng = np.random.RandomState(11)
-    cent_idx = np.sort(rng.choice(n, size=min(IVF_CELLS, n), replace=False))
     cent = np.stack([np.asarray(t["embedding"][int(i)].as_py(),
-                                dtype=np.float64) for i in cent_idx])
+                                dtype=np.float64)
+                     for i in range(min(IVF_CELLS, n))])
     cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
                                1e-300)
 
@@ -416,6 +419,84 @@ LIMIT {PAIR_TOPK}
 """
 
 
+ANN_IVF_SQL = f"""
+WITH cent AS (
+    SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb
+    FROM embeddings ORDER BY vec_id LIMIT {IVF_CELLS}
+), v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), ranked AS (
+    SELECT v.vec_id, cent.c_id,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.emb, cent.c_emb) DESC,
+                        cent.c_id) AS rn
+    FROM v CROSS JOIN cent
+), assign AS (
+    SELECT vec_id, c_id FROM ranked WHERE rn = 1
+), probes AS (
+    SELECT vec_id AS q_id, c_id FROM ranked
+    WHERE vec_id < {ANN_NUM_QUERIES} AND rn <= {IVF_PROBES}
+), cand AS (
+    SELECT DISTINCT p.q_id, a.vec_id AS n_id
+    FROM probes p JOIN assign a ON a.c_id = p.c_id
+    WHERE a.vec_id <> p.q_id
+)
+SELECT c.q_id, c.n_id,
+       round(list_cosine_similarity(q.emb, m.emb), 6) AS cos
+FROM cand c
+JOIN v q ON q.vec_id = c.q_id
+JOIN v m ON m.vec_id = c.n_id
+QUALIFY row_number() OVER (
+    PARTITION BY c.q_id
+    ORDER BY round(list_cosine_similarity(q.emb, m.emb), 6) DESC, c.n_id)
+    <= {ANN_K}
+"""
+
+
+def _ann_lsh_sql(dim: int = 64) -> str:
+    """SQL oracle for ann_lsh: the seeded hyperplanes are embedded as
+    float literals (repr round-trips float64 exactly), the bucket ids
+    recomputed with list_inner_product, candidates joined on any-table
+    bucket equality, and the exact-cosine rerank shared with the
+    brute-force oracle. Deterministic on the fixed test tables: the
+    only engine divergence would be a sign flip of a near-zero dot
+    product (different summation order), verified absent at test
+    scales (test_oracle_parity)."""
+    planes = _lsh_planes(dim)
+    sig_exprs = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for b in range(LSH_BITS):
+            vec = ", ".join(repr(float(x)) for x in planes[t, b])
+            bits.append(f"(CASE WHEN list_inner_product(emb, [{vec}]) > 0 "
+                        f"THEN {1 << b} ELSE 0 END)")
+        sig_exprs.append(" + ".join(bits) + f" AS b{t}")
+    sig_cols = ",\n           ".join(sig_exprs)
+    any_bucket = " OR ".join(f"q.b{t} = m.b{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH sig AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           {sig_cols}
+    FROM embeddings
+), cand AS (
+    SELECT DISTINCT q.vec_id AS q_id, m.vec_id AS n_id
+    FROM sig q JOIN sig m
+      ON ({any_bucket})
+    WHERE q.vec_id < {ANN_NUM_QUERIES} AND m.vec_id <> q.vec_id
+)
+SELECT c.q_id, c.n_id,
+       round(list_cosine_similarity(q.emb, m.emb), 6) AS cos
+FROM cand c
+JOIN sig q ON q.vec_id = c.q_id
+JOIN sig m ON m.vec_id = c.n_id
+QUALIFY row_number() OVER (
+    PARTITION BY c.q_id
+    ORDER BY round(list_cosine_similarity(q.emb, m.emb), 6) DESC, c.n_id)
+    <= {ANN_K}
+"""
+
+
 def ann_ivf_exact(sf_dir: str) -> ray.data.Dataset:
     """IVF with probes = IVF_CELLS: every query probes every cell, so
     the cells partition the table and the scan is exhaustive — the
@@ -427,8 +508,8 @@ def ann_ivf_exact(sf_dir: str) -> ray.data.Dataset:
 
 REGISTRY = {
     "ann_bruteforce": (ann_bruteforce, ANN_BRUTEFORCE_SQL),
-    "ann_lsh": (ann_lsh, None),  # approximate: rows-only driver check
-    "ann_ivf": (ann_ivf, None),  # approximate: rows-only driver check
+    "ann_lsh": (ann_lsh, _ann_lsh_sql()),  # planes embedded as literals
+    "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "ann_ivf_exact": (ann_ivf_exact, ANN_BRUTEFORCE_SQL),
     "ann_knn_classify": (knn_classify, KNN_CLASSIFY_SQL),
     "embedding_pair_topk": (embedding_pair_topk, EMBEDDING_PAIR_TOPK_SQL),

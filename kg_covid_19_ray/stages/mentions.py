@@ -118,8 +118,15 @@ def detect_mentions(docs: ray.data.Dataset, *, concurrency=None,
             concurrency=concurrency,
             num_cpus=1,
         )
+    import os
+    # full-subscription headroom knob: num_cpus > 1 per detect task
+    # leaves (1 - 1/num_cpus) x slots of CPU for raylet / object store
+    # when every hardware thread is subscribed (the measured 8->32
+    # efficiency tail); default 1 = one task per CPU.
+    task_cpus = float(os.environ.get("KG_RAY_DETECT_CPUS", "1"))
     return docs.map_batches(
         _detect_batch_task,
         batch_format="pyarrow",
         batch_size=batch_size,
+        num_cpus=task_cpus,
     )
