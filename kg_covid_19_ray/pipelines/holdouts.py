@@ -169,9 +169,61 @@ GROUP BY doc_id, curie HAVING count(*) = 1
 """)
 
 
+def holdout_connected(sf_dir: str) -> ray.data.Dataset:
+    """Connectivity-preserving train/test split (the O4 analog of
+    ensmallen's ``random_holdout``, make_holdouts.py:59-77): a
+    spanning forest of the edge graph is pinned to train, so removing
+    the test edges can never disconnect a component — the
+    train-connectivity guarantee the reference gets from ensmallen.
+
+    Dataflow: ``stages.cluster.spanning_forest`` (hierarchical
+    cycle-pruning, all-Dataset) -> left_outer join marks forest edges
+    -> only NON-forest edges are test-eligible, tagged by the same
+    seeded md5 hash as ``holdout_split``. Iterative graph algorithm:
+    no SQL oracle (rows-only driver check); the connectivity property
+    is asserted against a union-find oracle in tests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kg_covid_19_ray.stages.cluster import spanning_forest
+
+    edges = _edges(sf_dir).select_columns(["subject", "object"])
+
+    def addkey(batch: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(batch["subject"], batch["object"])
+        hi = pc.max_element_wise(batch["subject"], batch["object"])
+        return batch.append_column("lo", lo).append_column("hi", hi)
+
+    keyed = edges.map_batches(addkey, batch_format="pyarrow")
+    forest = spanning_forest(edges, src="subject", dst="object")
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "in_forest", pa.array([1] * batch.num_rows, pa.int32()))
+
+    marked = keyed.join(
+        forest.map_batches(mark, batch_format="pyarrow")
+              .rename_columns({"a": "lo", "b": "hi"}),
+        join_type="left_outer", num_partitions=4, on=("lo", "hi"))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_prefix(batch["subject"], batch["object"])
+        eligible = batch["in_forest"].isna().to_numpy()
+        test = eligible & np.array([x[:2] < TEST_HEX for x in h])
+        return pd.DataFrame({
+            "subject": batch["subject"],
+            "object": batch["object"],
+            "split": np.where(test, "test", "train"),
+        })
+
+    return marked.map_batches(tag, batch_format="pandas")
+
+
 REGISTRY = {
     "holdout_split": (holdout_split, HOLDOUT_SPLIT_SQL),
     "holdout_negatives": (holdout_negatives, HOLDOUT_NEGATIVES_SQL),
     "holdout_degrees": (holdout_degrees, HOLDOUT_DEGREES_SQL),
     "holdout_pair_uniques": (holdout_pair_uniques, HOLDOUT_PAIR_UNIQUES_SQL),
+    # iterative (spanning forest): rows-only driver check
+    "holdout_connected": (holdout_connected, None),
 }

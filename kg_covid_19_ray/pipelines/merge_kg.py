@@ -118,7 +118,11 @@ def _first_nonempty_unify(ds: ray.data.Dataset, key: str,
         if "__bucket" in df.columns:
             out["__bucket"] = df.groupby(df[key], sort=False)["__bucket"] \
                                 .first().to_numpy()
-        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        # strip pandas schema metadata: its nested dict is unhashable
+        # and triggers Ray's "Failed to hash the schemas" warning in
+        # every downstream shuffle
+        tbl = pa.Table.from_pandas(out, preserve_index=False) \
+                      .replace_schema_metadata(None)
         # all-NaN columns come back as double: cast to the input types
         in_types = {f.name: f.type for f in batch.schema}
         cols = {}

@@ -243,3 +243,78 @@ def canonical_map_from_components(labels: ray.data.Dataset) -> dict[str, str]:
         for m, c in zip(batch["member"].to_pylist(), batch["canon"].to_pylist()):
             out[m] = c
     return out
+
+
+def spanning_forest(edges: ray.data.Dataset,
+                    src: str = "a", dst: str = "b", *,
+                    num_partitions: int = 8,
+                    fold_factor: int = 4) -> ray.data.Dataset:
+    """-> Dataset(a, b): a subset of the input edges whose union
+    preserves the connectivity of the full graph (a spanning forest of
+    each component). The enabler for ensmallen-style
+    connectivity-preserving holdouts (reference make_holdouts.py:59-77
+    ``random_holdout``): edges NOT in the forest can move to a test
+    split without disconnecting train.
+
+    Shape: hierarchical cycle-pruning. Each fold repartitions the
+    surviving edges into fewer blocks and drops, per block, every edge
+    that closes a cycle within that block (local union-find over the
+    block's edges in sorted order) — dropping a local cycle edge never
+    changes connectivity, so the invariant "survivors preserve the
+    input's connectivity" holds per fold. The final single-block pass
+    leaves exactly one spanning forest: n_nodes - n_components edges
+    (a count invariant of ANY forest, so the output size is
+    deterministic even though Ray's repartition boundaries are not).
+    The last fold holds one block of <= n_nodes - 1 surviving edges —
+    the same O(|same-as nodes|) bound as the broadcast canonical map,
+    orders of magnitude below the corpus."""
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        a, b = batch[src], batch[dst]
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        t = pa.table({"a": lo, "b": hi})
+        return t.filter(pc.not_equal(t["a"], t["b"]))
+
+    from kg_covid_19_ray.stages.dedup import distinct
+    surviving = distinct(edges.map_batches(norm, batch_format="pyarrow"),
+                         ["a", "b"])
+
+    def local_forest(batch: pa.Table) -> pa.Table:
+        # per-block union-find in (a, b) sorted order; sequential loop
+        # over the (small) same-as edge table, as in _local_labels
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        order = sorted(range(len(a)), key=lambda i: (a[i], b[i]))
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        keep_a, keep_b = [], []
+        for i in order:
+            ra, rb = find(a[i]), find(b[i])
+            if ra == rb:
+                continue  # closes a cycle in this block: redundant
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            keep_a.append(a[i])
+            keep_b.append(b[i])
+        return pa.table({"a": pa.array(keep_a, pa.string()),
+                         "b": pa.array(keep_b, pa.string())})
+
+    blocks = max(1, num_partitions)
+    while True:
+        surviving = surviving.repartition(blocks).map_batches(
+            local_forest, batch_format="pyarrow",
+            batch_size=None).materialize()
+        if blocks == 1:
+            return surviving
+        blocks = max(1, blocks // fold_factor)

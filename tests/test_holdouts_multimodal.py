@@ -96,3 +96,68 @@ def test_media_near_dups_composition(ray_session):
     out2 = multimodal.media_near_dups(SF).to_pandas()
     key = lambda df: list(map(tuple, df.to_numpy()))
     assert key(out1) == key(out2)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_spanning_forest_preserves_connectivity(ray_session):
+    """The forest must have exactly n_nodes - n_components edges and
+    the same component structure as the input graph."""
+    import numpy as np
+    import ray.data
+    from kg_covid_19_ray.stages.cluster import spanning_forest
+
+    rng = np.random.RandomState(9)
+    edges = [(f"N:{a}", f"N:{b}")
+             for a, b in zip(rng.randint(0, 400, 2000),
+                             rng.randint(0, 400, 2000)) if a != b]
+    # plus a long chain in a separate component
+    edges += [(f"C:{i:03d}", f"C:{i+1:03d}") for i in range(50)]
+    ds = ray.data.from_items(
+        [{"a": a, "b": b} for a, b in edges]).repartition(8)
+    forest = spanning_forest(ds).to_pandas()
+
+    full = _uf_components(edges)
+    n_nodes = len(full)
+    n_comps = len(set(full.values()))
+    assert len(forest) == n_nodes - n_comps
+    got = _uf_components(list(zip(forest["a"], forest["b"])))
+    # identical node partition
+    assert len(got) == n_nodes
+    remap = {}
+    for n, c in got.items():
+        assert remap.setdefault(c, full[n]) == full[n]
+
+
+def test_holdout_connected_train_keeps_components(ray_session, sf_small):
+    """Train must have the same component structure as the full edge
+    graph (the ensmallen random_holdout guarantee), and test edges must
+    be non-forest only."""
+    from kg_covid_19_ray.pipelines.holdouts import holdout_connected
+
+    df = holdout_connected(sf_small).to_pandas()
+    assert set(df["split"]) == {"train", "test"}
+    all_edges = list(zip(df["subject"], df["object"]))
+    train_edges = [e for e, s in zip(all_edges, df["split"])
+                   if s == "train"]
+    full = _uf_components(all_edges)
+    train = _uf_components(train_edges)
+    assert len(train) == len(full)  # no node lost
+    remap = {}
+    for n, c in train.items():
+        assert remap.setdefault(c, full[n]) == full[n]
