@@ -184,6 +184,12 @@ _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
 _MH_A = _rng.randint(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
 _MH_B = _rng.randint(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64)
+# wrap-multiply family for the vectorized path: h_i(x) = a_i*x + b_i in
+# uint64 wrap arithmetic (a_i odd). No integer division — the mod-prime
+# variant costs ~3x more CPU in the permutation sweep, which dominates
+# the signature stage at corpus scale.
+_MH_A_U = (_MH_A.astype(np.uint64) | np.uint64(1))
+_MH_B_U = _MH_B.astype(np.uint64)
 
 
 def _shingles(text: str, w: int = SHINGLE_W) -> set[int]:
@@ -195,63 +201,102 @@ def _shingles(text: str, w: int = SHINGLE_W) -> set[int]:
 
 
 def _minhash_signature(sh: set[int]) -> np.ndarray:
-    x = np.fromiter(sh, dtype=np.int64, count=len(sh))
-    # h_i(x) = (a_i * x + b_i) mod p, row-min over shingles
-    vals = (np.multiply.outer(_MH_A, x) + _MH_B[:, None]) % _MERSENNE
+    """Definitional per-set signature (shared hash family with
+    MinHasher): h_i(x) = a_i*x + b_i in uint64 wrap arithmetic,
+    row-min over shingles."""
+    x = np.fromiter(sh, dtype=np.int64, count=len(sh)).astype(np.uint64)
+    vals = _MH_A_U[:, None] * x[None, :] + _MH_B_U[:, None]
     return vals.min(axis=1)
+
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio odd constant
 
 
 class MinHasher:
     """Actor-pool stage: permutation parameters are per-actor state;
-    emits (band, band_hash, doc_id) rows per document.
+    emits (band_hash, doc_id) rows per document.
 
-    Vectorized batch-wide: each UNIQUE shingle in the batch is crc32'd
-    and permuted once (corpora repeat shingles heavily), per-doc
-    signatures are one ``minimum.reduceat`` over the shared hash
-    matrix — identical output to the per-doc definition."""
+    FULLY vectorized — zero per-row Python in the signature stage:
+
+    1. tokenization: one ``pc.split_pattern`` per batch;
+    2. token hashing: dictionary-encode the flattened tokens, hash each
+       DISTINCT token once (``pd.util.hash_array``, deterministic
+       across processes), gather by index;
+    3. shingle hash: a wrapping-uint64 3-gram mix of consecutive token
+       hashes (replaces string-building + crc32 — the bucketing hash
+       choice only affects LSH candidate recall, and the verified
+       output is pinned by the exact-Jaccard oracle);
+    4. per-doc distinct: one lexsort + adjacent-duplicate mask;
+    5. signatures: permute the batch-unique shingle hashes once,
+       ``minimum.reduceat`` per doc (as before);
+    6. band hashes: FNV-1a folded over the band's rows with numpy,
+       fused with the band index into one int64 shuffle key."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        crc_cache: dict[str, int] = {}
-        doc_sh: list[np.ndarray] = []
-        for text in batch["text"]:
-            toks = text.split(" ")
-            if len(toks) < SHINGLE_W:
-                keys = (text,)
-            else:
-                keys = (" ".join(toks[i:i + SHINGLE_W])
-                        for i in range(len(toks) - SHINGLE_W + 1))
-            s = set()
-            for k in keys:
-                v = crc_cache.get(k)
-                if v is None:
-                    v = zlib.crc32(k.encode())
-                    crc_cache[k] = v
-                s.add(v)
-            doc_sh.append(np.fromiter(s, np.int64, len(s)))
-
-        uniq = np.unique(np.concatenate(doc_sh))
-        # hash every unique shingle once: (PERMS, U)
-        hmat = (_MH_A[:, None] * uniq[None, :] + _MH_B[:, None]) % _MERSENNE
-        idx = np.concatenate([np.searchsorted(uniq, s) for s in doc_sh])
-        lens = np.array([len(s) for s in doc_sh])
-        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        sigs = np.minimum.reduceat(hmat[:, idx], offsets, axis=1)  # (P, n)
-
         n = len(batch)
-        ids = batch["doc_id"].to_numpy()
-        # fused key (band << 32) | crc32: one int64 instead of
-        # (band:int32, hash:int64) — less payload through the shuffle
-        out_hash = np.empty(n * MINHASH_BANDS, dtype=np.int64)
-        sig_t = np.ascontiguousarray(sigs.T)  # (n, PERMS)
-        for i in range(n):
-            row = sig_t[i]
-            base = i * MINHASH_BANDS
-            for b in range(MINHASH_BANDS):
-                out_hash[base + b] = (b << 32) | zlib.crc32(
-                    row[b * MINHASH_ROWS:(b + 1) * MINHASH_ROWS].tobytes())
+        texts = pa.array(batch["text"].fillna(""), pa.string())
+        toks = pa.compute.split_pattern(texts, " ")
+        flat = pa.compute.list_flatten(toks)
+        lens = pa.compute.list_value_length(toks).to_numpy() \
+            .astype(np.int64)
+        enc = flat.dictionary_encode()
+        tok_h = pd.util.hash_array(
+            np.asarray(enc.dictionary.to_pylist(), dtype=object)) \
+            .astype(np.uint64)
+        h = tok_h[enc.indices.to_numpy(zero_copy_only=False)]
+
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        if len(h) >= SHINGLE_W:
+            sh = (h[:-2] * _MIX + h[1:-1]) * _MIX + h[2:]
+            valid = doc_of[:-2] == doc_of[2:]
+            sh_doc = doc_of[:-2][valid]
+            sh_h = sh[valid]
+        else:
+            sh_doc = np.empty(0, np.int64)
+            sh_h = np.empty(0, np.uint64)
+        # short docs (< SHINGLE_W tokens): whole text is the shingle
+        short = np.nonzero(lens < SHINGLE_W)[0]
+        if len(short):
+            text_h = pd.util.hash_array(
+                batch["text"].fillna("").to_numpy(dtype=object)[short]) \
+                .astype(np.uint64)
+            sh_doc = np.concatenate([sh_doc, short])
+            sh_h = np.concatenate([sh_h, text_h])
+
+        # per-doc distinct shingles: sort by (doc, hash), mask repeats
+        order = np.lexsort((sh_h, sh_doc))
+        d, v = sh_doc[order], sh_h[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+        d, v = d[keep], v[keep]
+        counts = np.bincount(d, minlength=n)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+        # permutation sweep straight over the per-doc distinct shingle
+        # positions: wrap-multiply hashing (no mod, no unique/gather —
+        # both measured dominant), perms processed in chunks so the
+        # (chunk, S) work matrix stays ~50 MB
+        sigs = np.empty((MINHASH_PERMS, n), dtype=np.uint64)
+        chunk = 16
+        for c in range(0, MINHASH_PERMS, chunk):
+            block = _MH_A_U[c:c + chunk, None] * v[None, :] \
+                + _MH_B_U[c:c + chunk, None]
+            sigs[c:c + chunk] = np.minimum.reduceat(block, offsets, axis=1)
+
+        # vectorized FNV-1a per (doc, band) over MINHASH_ROWS rows
+        sig_b = sigs.T.astype(np.uint64).reshape(
+            n, MINHASH_BANDS, MINHASH_ROWS)
+        bh = np.full((n, MINHASH_BANDS), _FNV_OFFSET, dtype=np.uint64)
+        for r in range(MINHASH_ROWS):
+            bh = (bh ^ sig_b[:, :, r]) * _FNV_PRIME
+        # fuse band index into the top byte -> one int64 shuffle key
+        bands = np.arange(MINHASH_BANDS, dtype=np.uint64)
+        fused = (bh >> np.uint64(8)) | (bands[None, :] << np.uint64(56))
         return pd.DataFrame({
-            "band_hash": out_hash,
-            "doc_id": np.repeat(ids, MINHASH_BANDS),
+            "band_hash": fused.reshape(-1).view(np.int64),
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(), MINHASH_BANDS),
         })
 
 
