@@ -47,6 +47,17 @@ def _sorted_first_per_key(batch: pa.Table, key_cols: list[str],
     if batch.num_rows == 0:
         return batch
     cols = list(batch.column_names)
+    value_cols = [c for c in cols if c not in key_cols]
+    if value_cols == [order_col]:
+        # fast path: no payload beyond the order key itself -> a hash
+        # group-by min, skipping the full multi-key sort (the flagship
+        # edge-dedup case: every output column is part of the key)
+        agg = batch.group_by(key_cols, use_threads=False).aggregate(
+            [(order_col, "min")])
+        agg = agg.rename_columns(
+            [order_col if c == f"{order_col}_min" else c
+             for c in agg.column_names])
+        return agg.select(cols)
     sort_keys = [(k, "ascending") for k in key_cols] + [(order_col, "ascending")]
     batch = batch.sort_by(sort_keys)
     agg = batch.group_by(key_cols, use_threads=False).aggregate(
