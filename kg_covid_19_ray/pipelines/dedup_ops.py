@@ -479,9 +479,27 @@ def simhash_near_dups(sf_dir: str) -> ray.data.Dataset:
                                columns=["doc_id", "text"])
 
     def sig(batch: pd.DataFrame) -> pd.DataFrame:
-        cache: dict[str, np.ndarray] = {}
-        hs = np.array([simhash64(t, cache) for t in batch["text"]],
-                      dtype=np.uint64)
+        # vectorized: md5 only per DISTINCT token (oracle parity with
+        # md5_number_upper), per-doc accumulate via one add.reduceat
+        n = len(batch)
+        texts = pa.array(batch["text"].fillna(""), pa.string())
+        toks = pa.compute.split_pattern(texts, " ")
+        flat = pa.compute.list_flatten(toks)
+        lens = pa.compute.list_value_length(toks).to_numpy() \
+            .astype(np.int64)
+        enc = flat.dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        vh = np.array([int.from_bytes(
+            hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in vocab], dtype=np.uint64)
+        bits = (((vh[:, None] >> _SHIFTS[None, :]) & np.uint64(1))
+                .astype(np.int64) * 2 - 1)  # (V, 64) of +-1
+        tok_bits = bits[enc.indices.to_numpy(zero_copy_only=False)]
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        acc = np.add.reduceat(tok_bits, offsets, axis=0)  # (n, 64)
+        weights = np.uint64(1) << _SHIFTS
+        hs = ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+        assert len(hs) == n
         rows = []
         for s in range(SIMHASH_SEGMENTS):
             seg = (hs >> np.uint64(16 * s)) & np.uint64(0xFFFF)

@@ -278,8 +278,58 @@ QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
 """
 
 
+# BPE-ish subword segmentation regex (GPT-2-style, simplified to the
+# common RE2/PCRE subset both engines implement identically: no
+# lookahead): contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs, whitespace runs.
+BPE_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)"
+               r"| ?[A-Za-z]+"
+               r"| ?[0-9]+"
+               r"| ?[^A-Za-z0-9\s']+"
+               r"|\s+")
+
+
+def token_count_bpe(sf_dir: str) -> ray.data.Dataset:
+    """Tokenizer-cost estimation: per-document BPE-ish token count
+    (the pretokenizer split a byte-pair tokenizer would see) next to
+    the whitespace count, plus their ratio — the standard
+    chars-per-token-style corpus costing signal. One vectorized
+    ``str.count`` per batch."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def count(batch: pd.DataFrame) -> pd.DataFrame:
+        n_bpe = batch["text"].str.count(BPE_PATTERN) \
+            .to_numpy(dtype=np.int64)
+        n_ws = _tokens(batch["text"]).str.len().to_numpy(dtype=np.int64)
+        ratio = n_bpe / np.maximum(n_ws, 1)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": n_bpe,
+            "n_ws_tokens": n_ws,
+            "bpe_per_ws": _round_half_away(ratio, 6),
+        })
+
+    return ds.map_batches(count, batch_format="pandas")
+
+
+_BPE_SQL_PATTERN = BPE_PATTERN.replace("'", "''")
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))
+           AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       round(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}'))::DOUBLE
+             / greatest(len(string_split(text, ' ')), 1), 6)
+           AS bpe_per_ws
+FROM documents
+"""
+
+
 REGISTRY = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "text_token_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": (md5_fingerprints, MD5_FINGERPRINTS_SQL),
     "text_token_freq": (token_freq, TOKEN_FREQ_SQL),
