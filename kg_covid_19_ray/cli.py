@@ -142,11 +142,13 @@ def cmd_holdouts(args: argparse.Namespace) -> int:
     _ensure_ray()
     from kg_covid_19_ray.pipelines import holdouts as h
     os.makedirs(args.output_dir, exist_ok=True)
-    h.holdout_split(args.sf_dir).write_parquet(
+    split = h.holdout_connected if args.connected else h.holdout_split
+    split(args.sf_dir).write_parquet(
         os.path.join(args.output_dir, "edges_split"))
     h.holdout_negatives(args.sf_dir).write_parquet(
         os.path.join(args.output_dir, "edges_negative"))
-    print(json.dumps({"output_dir": args.output_dir}))
+    print(json.dumps({"output_dir": args.output_dir,
+                      "connected": bool(args.connected)}))
     return 0
 
 
@@ -184,6 +186,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.set_defaults(fn=cmd_query)
 
     h = sub.add_parser("holdouts", help="edge split + negatives")
+    h.add_argument("--connected", action="store_true",
+                   help="connectivity-preserving split: a spanning "
+                        "forest stays in train (ensmallen "
+                        "random_holdout analog)")
     h.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     h.add_argument("--output-dir", required=True)
     h.set_defaults(fn=cmd_holdouts)
