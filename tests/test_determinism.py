@@ -54,3 +54,73 @@ def test_sorted_output_path(ray_session):
     nodes_u, edges_u = build_kg(SF)
     assert _key(ndf) == _key(nodes_u.to_pandas())
     assert _key(edf) == _key(edges_u.to_pandas())
+
+
+def test_minhash_invariant_to_batch_layout(ray_session, tmp_path):
+    """The vectorized signature stage hashes per batch (dictionary
+    encode, reduceat segments) — the verified near-dup pairs must not
+    depend on how documents are batched/partitioned."""
+    import pandas as pd
+
+    from kg_covid_19_ray.pipelines import dedup_ops
+    from kg_covid_19_ray.sources.docgen import write_documents_parquet
+
+    root = tmp_path / "docs"
+    write_documents_parquet("/root/testdata/sf0.001",
+                            str(root / "documents.parquet"), replicas=3)
+
+    def run(**kw):
+        import ray.data
+        ds = ray.data.read_parquet(str(root / "documents.parquet"),
+                                   columns=["doc_id", "text"])
+        if kw.get("repartition"):
+            ds = ds.repartition(kw["repartition"])
+        bands = ds.map_batches(dedup_ops._minhash_bands,
+                               batch_format="pandas",
+                               batch_size=kw.get("batch_size", 8192))
+        return bands.to_pandas().sort_values(
+            ["band_hash", "doc_id"]).reset_index(drop=True)
+
+    a = run(batch_size=8192)
+    b = run(batch_size=173, repartition=7)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_vectorized_equals_scalar_any_batching():
+    """The vectorized signature path (per-batch dictionary encode +
+    add.reduceat) must equal the scalar per-document definition
+    regardless of how documents are grouped into batches."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from kg_covid_19_ray.pipelines import dedup_ops as D
+
+    texts = ["alpha beta gamma", "x", "", "alpha alpha beta",
+             "the quick brown fox", "beta gamma", "z z z z z"]
+    scalar = np.array([D.simhash64(t) for t in texts], dtype=np.uint64)
+
+    def batch_sigs(sub: list[str]) -> np.ndarray:
+        t_arr = pa.array(pd.Series(sub).fillna(""), pa.string())
+        toks = pa.compute.split_pattern(t_arr, " ")
+        flat = pa.compute.list_flatten(toks)
+        lens = pa.compute.list_value_length(toks).to_numpy() \
+            .astype(np.int64)
+        enc = flat.dictionary_encode()
+        vh = np.array([int.from_bytes(
+            hashlib.md5(t.encode()).digest()[:8], "little")
+            for t in enc.dictionary.to_pylist()], dtype=np.uint64)
+        bits = (((vh[:, None] >> D._SHIFTS[None, :]) & np.uint64(1))
+                .astype(np.int64) * 2 - 1)
+        tok_bits = bits[enc.indices.to_numpy(zero_copy_only=False)]
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        acc = np.add.reduceat(tok_bits, offsets, axis=0)
+        weights = np.uint64(1) << D._SHIFTS
+        return ((acc > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+
+    for split in (len(texts), 3, 1):  # one batch / ragged / per-doc
+        got = np.concatenate([batch_sigs(texts[i:i + split])
+                              for i in range(0, len(texts), split)])
+        assert (got == scalar).all()
