@@ -291,8 +291,8 @@ def ann_ivf(sf_dir: str, probes: int = IVF_PROBES) -> ray.data.Dataset:
     sample for synthetic fixtures but SQL-reproducible, which buys the
     query a full value oracle (``ANN_IVF_SQL``).
 
-    At web scale the quantizer becomes a trained k-means loaded in the
-    actor ``__init__``; the dataflow is unchanged."""
+    At web scale the quantizer becomes a trained k-means
+    (``ann_ivf_kmeans``); the dataflow is unchanged."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -301,6 +301,58 @@ def ann_ivf(sf_dir: str, probes: int = IVF_PROBES) -> ray.data.Dataset:
     cent = np.stack([np.asarray(t["embedding"][int(i)].as_py(),
                                 dtype=np.float64)
                      for i in range(min(IVF_CELLS, n))])
+    return _ivf_with_centroids(sf_dir, cent, probes)
+
+
+IVF_KMEANS_ITERS = 5
+IVF_KMEANS_SAMPLE = 4096
+
+
+def _train_kmeans(mat: np.ndarray, k: int, iters: int,
+                  seed: int = 13) -> np.ndarray:
+    """Seeded spherical Lloyd iterations over a sample matrix: the
+    trained coarse quantizer for the web-scale IVF path. Deterministic;
+    empty cells keep their previous centroid."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(mat))
+    cent = mat[np.sort(rng.choice(len(mat), size=k, replace=False))].copy()
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                          1e-300)
+    for _ in range(iters):
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                               1e-300)
+        assign = np.argmax(mn @ cn.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ann_ivf_kmeans(sf_dir: str, probes: int = IVF_PROBES,
+                   iters: int = IVF_KMEANS_ITERS) -> ray.data.Dataset:
+    """IVF with a TRAINED coarse quantizer: seeded k-means (spherical
+    Lloyd) over a deterministic sample of the table, then the exact
+    same broadcast/assign/probe/rerank dataflow as ``ann_ivf``. The
+    training sample is the first IVF_KMEANS_SAMPLE vectors by id — at
+    web scale it becomes ``Dataset.random_sample`` pulled to the
+    driver, still a tiny fraction of the table. Approximate (rows-only
+    driver check); recall vs brute force asserted in tests."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    sample = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in t["embedding"]
+                       .to_pylist()[:IVF_KMEANS_SAMPLE]])
+    cent = _train_kmeans(sample, IVF_CELLS, iters)
+    return _ivf_with_centroids(sf_dir, cent, probes)
+
+
+def _ivf_with_centroids(sf_dir: str, cent: np.ndarray,
+                        probes: int) -> ray.data.Dataset:
+    """Shared IVF dataflow: broadcast centroids + probe sets, per-batch
+    cell assignment and in-cell rerank, union-safe partial top-k."""
     cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
                                1e-300)
 
@@ -511,6 +563,8 @@ REGISTRY = {
     "ann_lsh": (ann_lsh, _ann_lsh_sql()),  # planes embedded as literals
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "ann_ivf_exact": (ann_ivf_exact, ANN_BRUTEFORCE_SQL),
+    "ann_ivf_kmeans": (ann_ivf_kmeans, None),  # trained quantizer
+
     "ann_knn_classify": (knn_classify, KNN_CLASSIFY_SQL),
     "embedding_pair_topk": (embedding_pair_topk, EMBEDDING_PAIR_TOPK_SQL),
 }

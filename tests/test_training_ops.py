@@ -146,3 +146,22 @@ def test_minhash_join_verification_equivalent(ray_session, planted_dir):
         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
     assert (0, 1) in set(zip(b["doc_a"], b["doc_b"]))
+
+
+def test_ann_ivf_kmeans_recall(ray_session):
+    """The trained-quantizer IVF must recall a healthy fraction of the
+    exact brute-force top-k (sf0.001 embeddings), and the exact-probe
+    variant must equal brute force."""
+    from kg_covid_19_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    exact = S.ann_bruteforce(sf).to_pandas()
+    km = S.ann_ivf_kmeans(sf).to_pandas()
+    e = set(zip(exact["q_id"], exact["n_id"]))
+    k = set(zip(km["q_id"], km["n_id"]))
+    recall = len(e & k) / len(e)
+    assert recall >= 0.5, f"kmeans-IVF recall {recall:.2f}"
+
+    full = S.ann_ivf_kmeans(sf, probes=S.IVF_CELLS).to_pandas()
+    f = set(zip(full["q_id"], full["n_id"]))
+    assert f == e  # exhaustive probing == brute force, any quantizer
