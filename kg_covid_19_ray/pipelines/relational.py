@@ -95,17 +95,27 @@ GROUP BY l_returnflag, l_linestatus
 
 class _NationEnricher:
     """Actor-pool stage: broadcast customer->nation dimension resolved
-    ONCE per actor in __init__ (ST1-style lookup state)."""
+    ONCE per actor in __init__ (ST1-style lookup state) into a
+    sorted-key array, so each batch is one searchsorted + one Arrow
+    take (C-level gather, no per-row dict access)."""
 
     def __init__(self, cust_ref, nation_ref):
+        import numpy as np
         cust = ray.get(cust_ref)  # dict custkey -> nationkey
         nation = ray.get(nation_ref)  # dict nationkey -> name
-        self.cust_to_nation = {k: nation.get(v, "?") for k, v in cust.items()}
+        keys = np.fromiter(cust.keys(), np.int64, len(cust))
+        names = np.array([nation.get(v, "?") for v in cust.values()],
+                         dtype=object)
+        order = np.argsort(keys)
+        self.keys = keys[order]
+        self.names = pa.array(names[order], pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        lut = self.cust_to_nation
-        names = pa.array([lut.get(int(k)) for k in keys], pa.string())
+        import numpy as np
+        import pyarrow.compute as pc
+        k = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.keys, k)  # FK integrity: always hits
+        names = pc.take(self.names, pa.array(pos, pa.int64()))
         return batch.append_column("n_name", names)
 
 
