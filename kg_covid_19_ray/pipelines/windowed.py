@@ -4,15 +4,25 @@ no streaming concepts; these are the batch-mode equivalents a
 training-data pipeline needs, composed from sort + groupby.map_groups
 per the custom-operator guidance):
 
-- gap-based SESSIONIZATION: events partition-sorted per user; a >30min
-  gap opens a new session. Partitioning assumption: one user's events
-  fit one group (true at any realistic user cardinality; a hot user is
-  bounded by their own event count, not corpus size);
+- gap-based SESSIONIZATION: a >30min gap (or a user change) opens a
+  new session — session ids are one vectorized cumsum over the
+  (user, ts)-sorted bucket, aggregated with a single C-level groupby;
 - AS-OF JOIN: each error event matched to the most recent prior-or-
-  equal click of the same user — per-user ``pandas.merge_asof`` inside
-  ``map_groups`` (both sides arrive time-sorted after the group sort);
+  equal click of the same user — ONE ``pandas.merge_asof(by=user)``
+  per bucket (the per-user partitioning runs inside pandas' C code);
+- SLIDING COUNT: per-user one-hour RANGE window via a composite-key
+  searchsorted (each user's timestamps offset into a disjoint integer
+  segment, so one global binary search respects user boundaries);
 - JSON property aggregate: vectorized regex field extraction from the
   ``props`` JSON column (M18-at-scale: no per-row json.loads).
+
+All three user-partitioned operators route users into a FIXED number
+of hash buckets and run one vectorized kernel per bucket:
+``groupby(user).map_groups`` would pay one Python call per user —
+O(users) interpreter crossings at corpus scale — while bucketing pays
+``NUM_BUCKETS`` (stages/dedup bucketing rationale). A hot user still
+lands in one bucket, but a bucket holds many users and all kernels are
+linear in bucket rows.
 
 All rounding is half-away-from-zero (DuckDB ``round()`` semantics);
 numpy's ``np.round`` is half-to-even and silently diverges on .5
@@ -33,32 +43,60 @@ def _round_half_away(arr: np.ndarray, ndigits: int) -> np.ndarray:
     return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
 
 
+NUM_BUCKETS = 64
+
+
+def _by_user_buckets(ds: ray.data.Dataset, kernel) -> ray.data.Dataset:
+    """Route rows by hash(user_id) % NUM_BUCKETS and run ``kernel``
+    once per bucket (vectorized over all of the bucket's users)."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["user_id"],
+                                       index=False).to_numpy()
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(NUM_BUCKETS)).astype(np.int64)
+        return batch
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return kernel(g.drop(columns="__bucket"))
+
+    return ds.map_batches(add_bucket, batch_format="pandas") \
+             .groupby("__bucket").map_groups(run, batch_format="pandas")
+
+
 def _read_events(sf_dir: str, cols: list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
 
 
 def sessions(sf_dir: str) -> ray.data.Dataset:
     """Per-user gap sessions: (user_id, session_idx, n_events,
-    duration_sec, sum_value)."""
+    duration_sec, sum_value). One vectorized kernel per user-bucket —
+    session boundaries are a cumsum over (user change | gap), the
+    aggregate one C-level groupby."""
     ds = _read_events(sf_dir, ["ts", "user_id", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        sid = gap.cumsum().astype(np.int64)
-        agg = g.groupby(sid).agg(
+        sid = (new_user | gap).cumsum()
+        agg = g.groupby(sid, sort=False).agg(
+            user_id=("user_id", "first"),
             start=("ts", "min"), end=("ts", "max"),
             n_events=("ts", "size"), sum_value=("value", "sum"))
         dur = (agg["end"] - agg["start"]).dt.total_seconds()
+        # per-user session index: sessions arrive user-grouped in sid
+        # order, so cumcount within user is the per-user rank
+        session_idx = agg.groupby("user_id", sort=False).cumcount()
         return pd.DataFrame({
-            "user_id": g["user_id"].iloc[0],
-            "session_idx": agg.index.to_numpy(),
+            "user_id": agg["user_id"].to_numpy(),
+            "session_idx": session_idx.to_numpy(dtype=np.int64),
             "n_events": agg["n_events"].to_numpy(dtype=np.int64),
             "duration_sec": _round_half_away(dur.to_numpy(), 6),
             "sum_value": _round_half_away(agg["sum_value"].to_numpy(), 6),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_user_buckets(ds, kernel)
 
 
 SESSIONS_SQL = f"""
@@ -93,7 +131,9 @@ def asof_error_click(sf_dir: str) -> ray.data.Dataset:
     ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
     ds = ds.filter(expr="event_type == 'error' or event_type == 'click'")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof(by=user_id) does the per-user partitioning in C;
+        # both sides need only a global ts sort
         g = g.sort_values("ts", kind="mergesort")
         errors = g[g["event_type"] == "error"]
         clicks = g[g["event_type"] == "click"]
@@ -104,14 +144,15 @@ def asof_error_click(sf_dir: str) -> ray.data.Dataset:
                 "click_event_id": pd.Series([], dtype=np.float64),
                 "gap_sec": pd.Series([], dtype=np.float64)})
         m = pd.merge_asof(
-            errors[["event_id", "ts"]],
-            clicks[["event_id", "ts"]].rename(
+            errors[["event_id", "ts", "user_id"]],
+            clicks[["event_id", "ts", "user_id"]].rename(
                 columns={"event_id": "click_event_id", "ts": "click_ts"}),
-            left_on="ts", right_on="click_ts", direction="backward")
+            left_on="ts", right_on="click_ts", by="user_id",
+            direction="backward")
         gap = (m["ts"] - m["click_ts"]).dt.total_seconds()
         return pd.DataFrame({
             "error_event_id": m["event_id"].to_numpy(dtype=np.int64),
-            "user_id": g["user_id"].iloc[0],
+            "user_id": m["user_id"].to_numpy(dtype=np.int64),
             # float64 with NaN for unmatched, matching how an SQL engine's
             # nullable-int result lands in pandas (avoids Int64-vs-float
             # hash divergence in the driver compare)
@@ -119,7 +160,7 @@ def asof_error_click(sf_dir: str) -> ray.data.Dataset:
             "gap_sec": _round_half_away(gap.to_numpy(), 6),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_user_buckets(ds, kernel)
 
 
 ASOF_ERROR_CLICK_SQL = """
@@ -180,21 +221,31 @@ def sliding_count(sf_dir: str) -> ray.data.Dataset:
     batch-mode sliding window."""
     ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        ts = g["ts"].to_numpy()
-        lo = np.searchsorted(ts, ts - np.timedelta64(1, "h"), side="left")
+    HOUR_US = 3_600_000_000  # microseconds
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        # composite-key trick: offset each user's timestamps into a
+        # disjoint integer segment wider than (time span + window), so
+        # ONE global searchsorted never crosses a user boundary.
+        # Microsecond resolution (timestamps are parquet us) keeps
+        # user_rank x segment_width far from int64 overflow.
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        ts_us -= ts_us.min()
+        user_rank = pd.factorize(g["user_id"], sort=False)[0]
+        seg = ts_us.max() + 2 * HOUR_US + 1
+        key = ts_us + user_rank * seg
+        lo = np.searchsorted(key, key - HOUR_US, side="left")
         # RANGE frame: peer rows (identical ts) all count for each other,
         # so the upper bound is searchsorted side='right', not row index.
-        hi = np.searchsorted(ts, ts, side="right")
-        n_in_window = hi - lo
+        hi = np.searchsorted(key, key, side="right")
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(),
             "user_id": g["user_id"].to_numpy(),
-            "n_last_hour": n_in_window.astype(np.int64),
+            "n_last_hour": (hi - lo).astype(np.int64),
         })
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return _by_user_buckets(ds, kernel)
 
 
 SLIDING_COUNT_SQL = """
