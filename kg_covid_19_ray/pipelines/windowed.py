@@ -274,9 +274,24 @@ def top_orders_per_cust(sf_dir: str) -> ray.data.Dataset:
             ascending=[True, False, True], kind="mergesort") \
             .groupby("o_custkey", sort=False).head(TOP_ORDERS_PER_CUST)
 
-    return ds.map_batches(partial, batch_format="pandas") \
-             .groupby("o_custkey") \
-             .map_groups(partial, batch_format="pandas")
+    # the kernel is already multi-customer vectorized, so the final
+    # reduce routes customers into hash buckets (one Python call per
+    # bucket) instead of groupby(custkey).map_groups (one per customer)
+    pre = ds.map_batches(partial, batch_format="pandas")
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["o_custkey"],
+                                       index=False).to_numpy()
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(NUM_BUCKETS)).astype(np.int64)
+        return batch
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return partial(g.drop(columns="__bucket"))
+
+    return pre.map_batches(add_bucket, batch_format="pandas") \
+              .groupby("__bucket") \
+              .map_groups(reduce_bucket, batch_format="pandas")
 
 
 TOP_ORDERS_PER_CUST_SQL = f"""
