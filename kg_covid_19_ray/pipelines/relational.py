@@ -326,3 +326,174 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name, o_year
 """
+
+
+def _lookup_ref(keys, values):
+    """Broadcastable (sorted int64 keys, aligned string values) pair
+    for _KeyLookup — built once driver-side from small dimensions."""
+    import numpy as np
+    k = np.asarray(keys, dtype=np.int64)
+    order = np.argsort(k)
+    vals = np.asarray(list(values), dtype=object)[order]
+    return ray.put((k[order], vals))
+
+
+class _KeyLookup:
+    """Generic broadcast dimension resolver: one searchsorted + one
+    Arrow take per batch (no per-row Python), key/output columns
+    parameterized. FK integrity assumed (every key resolves)."""
+
+    def __init__(self, ref, key_col: str, out_col: str):
+        import numpy as np  # noqa: F401 (worker-side import)
+        self.keys, vals = ray.get(ref)
+        self.values = pa.array(list(vals), pa.string())
+        self.key_col, self.out_col = key_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        k = batch[self.key_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.keys, k)
+        vals = pc.take(self.values, pa.array(pos, pa.int64()))
+        return batch.append_column(self.out_col, vals)
+
+
+def region_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue per REGION through the supplier side (TPC-H-Q5 flavor):
+    the three small dimensions (supplier -> nation -> region) are
+    FOLDED driver-side into one suppkey -> region-name lookup and
+    broadcast once — a dimension chain never needs three joins when
+    each link is broadcast-sized. Lineitem is scanned once with a
+    per-batch combiner."""
+    import pyarrow.parquet as pq
+
+    supp_t = pq.read_table(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"])
+    region_t = pq.read_table(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation_t["n_nationkey"].to_pylist(),
+                   nation_t["n_regionkey"].to_pylist()))
+    r2n = dict(zip(region_t["r_regionkey"].to_pylist(),
+                   region_t["r_name"].to_pylist()))
+    ref = _lookup_ref(
+        supp_t["s_suppkey"].to_pylist(),
+        (r2n[n2r[sn]] for sn in supp_t["s_nationkey"].to_pylist()))
+
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    enriched = line.map_batches(
+        _KeyLookup, batch_format="pyarrow", batch_size=65536,
+        concurrency=(1, 4), num_cpus=1,
+        fn_constructor_args=(ref, "l_suppkey", "r_name"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({"r_name": batch["r_name"], "revenue": rev})
+        return t.group_by("r_name").aggregate(
+            [("revenue", "sum"), ("revenue", "count")])
+
+    agg = enriched.map_batches(partial, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(
+            Sum("revenue_sum", alias_name="revenue"),
+            Sum("revenue_count", alias_name="n_lineitems"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": batch["r_name"],
+            "revenue": _round_col(batch["revenue"], 2),
+            "n_lineitems": batch["n_lineitems"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+REGION_REVENUE_SQL = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def brand_margin(sf_dir: str) -> ray.data.Dataset:
+    """Per-brand sales vs retail value: lineitem ⨝ part as a NATIVE
+    distributed hash join (part is catalog-sized — a big-big join at
+    web scale, unlike the broadcast dimension chains), then a small
+    brand aggregate with a per-batch combiner."""
+    line = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def part_proj(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_partkey": batch["p_partkey"],
+                         "p_brand": batch["p_brand"],
+                         "p_retailprice": batch["p_retailprice"]})
+
+    joined = line.join(part.map_batches(part_proj, batch_format="pyarrow"),
+                       join_type="inner", num_partitions=8,
+                       on=("l_partkey",))
+
+    def _fixed4(col) -> pa.Array:
+        # fixed-point (4 dp) int64: float sums are order-sensitive in
+        # the last ulp, and a brand whose sum lands on a .005 rounding
+        # boundary hash-diverged from the oracle; integer accumulation
+        # is exact and order-insensitive on both engines
+        return pc.cast(pc.round(pc.multiply(col, pa.scalar(10000.0)),
+                                ndigits=0,
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        retail = pc.multiply(pc.cast(batch["p_retailprice"], pa.float64()),
+                             pc.cast(batch["l_quantity"], pa.float64()))
+        t = pa.table({"p_brand": batch["p_brand"],
+                      "revenue4": _fixed4(rev),
+                      "retail4": _fixed4(retail),
+                      "qty": pc.cast(batch["l_quantity"], pa.float64())})
+        return t.group_by("p_brand").aggregate(
+            [("revenue4", "sum"), ("retail4", "sum"), ("qty", "sum")])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(
+            Sum("revenue4_sum", alias_name="revenue4"),
+            Sum("retail4_sum", alias_name="retail4"),
+            Sum("qty_sum", alias_name="sum_qty"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        def unscale(col) -> pa.Array:
+            return _round_col(pc.divide(pc.cast(col, pa.float64()),
+                                        pa.scalar(10000.0)), 2)
+        return pa.table({
+            "p_brand": batch["p_brand"],
+            "sum_qty": _round_col(batch["sum_qty"], 2),
+            "revenue": unscale(batch["revenue4"]),
+            "retail_value": unscale(batch["retail4"]),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+BRAND_MARGIN_SQL = """
+SELECT p_brand,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0)
+                      AS BIGINT)) / 10000.0, 2) AS revenue,
+       round(sum(CAST(round(p_retailprice * l_quantity * 10000, 0)
+                      AS BIGINT)) / 10000.0, 2) AS retail_value
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
