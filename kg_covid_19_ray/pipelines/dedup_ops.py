@@ -41,8 +41,14 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
                                columns=["doc_id", "text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        fp = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"]]
-        g = pd.DataFrame({"fp": fp, "doc_id": batch["doc_id"]}) \
+        # md5 must stay (the oracle's md5(text)); hash each DISTINCT
+        # text once per batch — dedup corpora repeat texts by
+        # construction, so the dictionary is much smaller than the rows
+        codes, uniques = pd.factorize(batch["text"], sort=False)
+        uniq_fp = np.array([hashlib.md5(t.encode()).hexdigest()
+                            for t in uniques], dtype=object)
+        g = pd.DataFrame({"fp": uniq_fp[codes],
+                          "doc_id": batch["doc_id"]}) \
             .groupby("fp", sort=False)["doc_id"].agg(["min", "count"]) \
             .reset_index()
         return g.rename(columns={"min": "keep_doc_id", "count": "n_docs"})
