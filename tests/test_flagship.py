@@ -41,3 +41,30 @@ def test_flagship_sf0001(ray_session, sf_small):
     assert (edf["predicate"] == "biolink:mentions").all()
     assert (edf["relation"] == "SIO:000255").all()
     assert (edf["provided_by"] == "web_pages").all()
+
+
+def test_build_kg_checkpoint_share_resumes(ray_session, sf_small, tmp_path):
+    """share='checkpoint': the extracted-docs stage is written once and
+    the second build resumes from the checkpoint (manifest present, no
+    recompute), producing identical node/edge counts."""
+    import json
+    import os
+
+    from kg_covid_19_ray.pipelines.flagship import build_kg
+
+    ckpt = str(tmp_path / "ckpt")
+    n1, e1 = build_kg(sf_small, share="checkpoint", checkpoint_dir=ckpt)
+    c_nodes, c_edges = n1.count(), e1.count()
+
+    stage_dirs = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt)
+                  for f in fs if f == "manifest.json"]
+    assert len(stage_dirs) == 1
+    manifest = json.load(open(stage_dirs[0]))
+    assert manifest["stage"] == "extracted_docs"
+    assert manifest["total_rows"] > 0
+    mtime = os.path.getmtime(stage_dirs[0])
+
+    n2, e2 = build_kg(sf_small, share="checkpoint", checkpoint_dir=ckpt)
+    assert (n2.count(), e2.count()) == (c_nodes, c_edges)
+    # resume did not rewrite the manifest
+    assert os.path.getmtime(stage_dirs[0]) == mtime
