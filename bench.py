@@ -138,6 +138,15 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
             ("dedup_exact", lambda: exact_dedup(sf_dir).count()))
     except ImportError:
         pass
+    try:
+        from kg_covid_19_ray.pipelines.windowed import (
+            sessions, sliding_count)
+        optional += [
+            ("rel_sessions", lambda: sessions(sf_dir).count()),
+            ("rel_sliding_count", lambda: sliding_count(sf_dir).count()),
+        ]
+    except ImportError:
+        pass
 
     for name, fn in optional:
         timed(name, fn)
