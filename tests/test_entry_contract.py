@@ -67,3 +67,27 @@ def test_entry_module_never_inits_ray():
                     and node.func.value.id == "ray"):
                 offenders.append(f"{p}:{node.lineno}")
     assert not offenders, offenders
+
+
+def test_registry_names_unique_across_modules():
+    """_registry() merges per-module REGISTRY dicts with dict.update —
+    a name collision would silently shadow a query. Guard: the union of
+    module registries has exactly as many entries as the merged one."""
+    import importlib
+
+    e = _entry()
+    total = 0
+    seen: dict[str, str] = {}
+    from kg_covid_19_ray.pipelines import kg_queries
+    mods = {"kg_queries": kg_queries.REGISTRY}
+    for mod_name in ("relational_queries", "textops", "dedup_ops",
+                     "similarity", "holdouts", "multimodal", "windowed"):
+        mods[mod_name] = importlib.import_module(
+            f"kg_covid_19_ray.pipelines.{mod_name}").REGISTRY
+    for mod_name, reg in mods.items():
+        for name in reg:
+            assert name not in seen, \
+                f"{name} defined in both {seen[name]} and {mod_name}"
+            seen[name] = mod_name
+        total += len(reg)
+    assert len(e.queries()) == total
