@@ -181,8 +181,14 @@ def kg_nodes(source: str | ray.data.Dataset,
 
 def build_kg(source: str | ray.data.Dataset, *, sort_output: bool = False,
              materialize_mentions: bool = False,
-             share: str = "none", checkpoint_dir: str | None = None):
+             share: str = "none", checkpoint_dir: str | None = None,
+             metrics=None):
     """-> (nodes Dataset, edges Dataset).
+
+    ``metrics``: optional ``state.metrics.Metrics`` — taps the mention
+    stream before and after edge dedup, so
+    ``metrics.dedup_hits("mention_dedup")`` reports dropped duplicates
+    after the run.
 
     ``sort_output`` adds the O5 deterministic final sort (a full shuffle;
     enable for materialized exports, skip for order-insensitive
@@ -230,7 +236,14 @@ def build_kg(source: str | ray.data.Dataset, *, sort_output: bool = False,
         # edge dedup needs (doc_id, curie); term dedup needs
         # (curie, name, category, order_key) — `surface` is dead weight
         mentions = mentions.drop_columns(["surface"]).materialize()
-    edges = mention_edges(mentions)
+    edge_input = mentions
+    if metrics is not None:
+        from kg_covid_19_ray.state.metrics import metered
+        edge_input = metered(edge_input, "mention_dedup.in", metrics)
+    edges = mention_edges(edge_input)
+    if metrics is not None:
+        from kg_covid_19_ray.state.metrics import metered
+        edges = metered(edges, "mention_dedup.out", metrics)
     nodes = kg_nodes(docs, mentions=mentions)
     if sort_output:
         nodes = nodes.sort("id")
