@@ -1,8 +1,8 @@
 """Temporal / windowed operators over the events table — custom
 operators Ray Data lacks natively (SURVEY §2.9 notes the reference has
 no streaming concepts; these are the batch-mode equivalents a
-training-data pipeline needs, composed from sort + groupby.map_groups
-per the custom-operator guidance):
+training-data pipeline needs, composed from hash-bucket routing +
+vectorized per-bucket kernels per the custom-operator guidance):
 
 - gap-based SESSIONIZATION: a >30min gap (or a user change) opens a
   new session — session ids are one vectorized cumsum over the
