@@ -219,6 +219,12 @@ def write_merged_tar(nodes: ray.data.Dataset, edges: ray.data.Dataset,
                             out.write(header)
                             first = False
                         shutil.copyfileobj(src, out)
+                if first:
+                    # empty dataset -> Ray wrote no part files; the
+                    # reference always emits the header line, so derive
+                    # it from the schema to keep the TSV well-formed
+                    out.write(("\t".join(ds.schema().names) + "\n")
+                              .encode("utf-8"))
             members.append(concat)
         with tarfile.open(out_path, "w:gz") as tar:
             for m in members:

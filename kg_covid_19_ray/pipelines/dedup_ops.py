@@ -43,8 +43,11 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         # md5 must stay (the oracle's md5(text)); hash each DISTINCT
         # text once per batch — dedup corpora repeat texts by
-        # construction, so the dictionary is much smaller than the rows
-        codes, uniques = pd.factorize(batch["text"], sort=False)
+        # construction, so the dictionary is much smaller than the rows.
+        # fillna first: factorize codes nulls as -1, and uniq_fp[-1]
+        # would silently alias null-text docs onto the LAST unique's
+        # fingerprint (MinHasher/simhash defend the same way).
+        codes, uniques = pd.factorize(batch["text"].fillna(""), sort=False)
         uniq_fp = np.array([hashlib.md5(t.encode()).hexdigest()
                             for t in uniques], dtype=object)
         g = pd.DataFrame({"fp": uniq_fp[codes],

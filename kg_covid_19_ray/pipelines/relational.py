@@ -114,8 +114,15 @@ class _NationEnricher:
         import numpy as np
         import pyarrow.compute as pc
         k = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(self.keys, k)  # FK integrity: always hits
+        pos = np.searchsorted(self.keys, k)
+        # clip + equality check: an FK violation becomes null, not a
+        # neighboring customer's nation (or an out-of-range take error)
+        pos = np.clip(pos, 0, len(self.keys) - 1)
         names = pc.take(self.names, pa.array(pos, pa.int64()))
+        hit = self.keys[pos] == k
+        if not hit.all():
+            names = pc.if_else(pa.array(hit), names,
+                               pa.scalar(None, pa.string()))
         return batch.append_column("n_name", names)
 
 
@@ -341,7 +348,10 @@ def _lookup_ref(keys, values):
 class _KeyLookup:
     """Generic broadcast dimension resolver: one searchsorted + one
     Arrow take per batch (no per-row Python), key/output columns
-    parameterized. FK integrity assumed (every key resolves)."""
+    parameterized. FK violations resolve to null (not a neighboring
+    key's value): searchsorted positions are clipped and checked for
+    key equality, so a missing/out-of-range key surfaces
+    deterministically downstream instead of silently mis-joining."""
 
     def __init__(self, ref, key_col: str, out_col: str):
         import numpy as np  # noqa: F401 (worker-side import)
@@ -353,7 +363,12 @@ class _KeyLookup:
         import numpy as np
         k = batch[self.key_col].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(self.keys, k)
+        pos = np.clip(pos, 0, len(self.keys) - 1)
         vals = pc.take(self.values, pa.array(pos, pa.int64()))
+        hit = self.keys[pos] == k
+        if not hit.all():
+            vals = pc.if_else(pa.array(hit), vals,
+                              pa.scalar(None, pa.string()))
         return batch.append_column(self.out_col, vals)
 
 

@@ -54,41 +54,75 @@ def scroll_pages(transport: Transport, index: str, query: dict, *,
                  slice_id: int | None = None,
                  slice_max: int | None = None):
     """Yield lists of hit records, one list per scroll page, clearing
-    the scroll cursor on exhaustion (and on error). Retries each page
-    up to MAX_RETRIES with backoff."""
+    the scroll cursor on exhaustion (and on error).
+
+    Failure handling: the initial ``search`` is idempotent and retried
+    in place with backoff. A ``scroll`` call is NOT idempotent — the
+    server may have advanced the cursor and only the response was lost,
+    so blindly re-calling it would silently skip a page. On any scroll
+    failure the old cursor is cleared and the slice RESTARTS from the
+    initial search, fast-forwarding past the pages already yielded
+    (scroll order is stable within a scroll context; a restart opens a
+    new snapshot, so a concurrently-mutating index may still shift
+    records across page boundaries — the standard ES scroll caveat).
+    Up to MAX_RETRIES restarts without progress (the budget resets
+    whenever a new page is delivered)."""
     body = dict(query)
     body.setdefault("size", page_size)
     if slice_id is not None:
         body["slice"] = {"id": slice_id, "max": slice_max}
 
-    def call(op: str, **kw) -> dict:
+    def search_with_retry() -> dict:
         last: Exception | None = None
         for attempt in range(MAX_RETRIES):
             try:
-                return transport(op, **kw)
+                return transport("search", index=index, body=body,
+                                 scroll=scroll)
             except Exception as exc:  # transient transport failure
                 last = exc
                 time.sleep(min(2 ** attempt * 0.1, 2.0))
         raise last  # type: ignore[misc]
 
-    resp = call("search", index=index, body=body, scroll=scroll)
-    sid = resp.get("_scroll_id")
-    try:
-        while True:
-            hits = resp.get("hits", {}).get("hits", [])
-            if not hits:
-                break
-            yield hits
-            if sid is None:
-                break
-            resp = call("scroll", scroll_id=sid, scroll=scroll)
-            sid = resp.get("_scroll_id", sid)
-    finally:
-        if sid is not None:
+    def clear(scroll_id) -> None:
+        if scroll_id is not None:
             try:
-                transport("clear", scroll_id=sid)
+                transport("clear", scroll_id=scroll_id)
             except Exception:
                 pass  # cursor will expire on its own
+
+    pages_done = 0  # pages already yielded (skip count after restart)
+    restarts = 0
+    sid = None
+    try:
+        while True:
+            resp = search_with_retry()
+            sid = resp.get("_scroll_id")
+            page_no = 0
+            try:
+                while True:
+                    hits = resp.get("hits", {}).get("hits", [])
+                    if not hits:
+                        return
+                    if page_no >= pages_done:  # not a replay page
+                        yield hits
+                        pages_done += 1
+                        restarts = 0  # progress resets the budget
+                    page_no += 1
+                    if sid is None:
+                        return
+                    resp = transport("scroll", scroll_id=sid,
+                                     scroll=scroll)
+                    sid = resp.get("_scroll_id", sid)
+            except Exception:
+                restarts += 1
+                if restarts >= MAX_RETRIES:
+                    raise
+                clear(sid)
+                sid = None
+                time.sleep(min(2 ** restarts * 0.1, 2.0))
+                # loop back: fresh search, skip pages_done pages
+    finally:
+        clear(sid)
 
 
 def fetch_all_records(transport: Transport, index: str, query: dict, *,

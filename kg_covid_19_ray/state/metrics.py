@@ -8,10 +8,16 @@ per-partition rows for checkpointed stages. This module covers the
 STREAMING stages between checkpoints: a ``metered(ds, "name")`` tap
 counts rows/batches as blocks flow through, accumulated in ONE named
 Ray actor per run — the legitimate shared-mutable-state case that the
-Dataset API cannot express (SURVEY §2.10 guidance). Counting is
-fire-and-forget (one tiny actor call per BLOCK, not per row), so the
-tap adds no synchronization to the hot path; read ``snapshot()`` after
-the consuming execution finishes.
+Dataset API cannot express (SURVEY §2.10 guidance). Each tap awaits
+the actor's ack for its block (one tiny round-trip per BLOCK, not per
+row — negligible against block-sized work), so by the time the
+consuming execution returns every add has been applied and
+``snapshot()`` is exact; fire-and-forget adds could still be in flight
+at snapshot time (actor message ordering is only per-sender).
+
+Counters accumulate PER EXECUTION: re-executing a tapped (lazy)
+dataset runs the tap again and double-counts — ``reset()`` between
+executions, or consume the dataset once.
 """
 
 from __future__ import annotations
@@ -65,12 +71,16 @@ def metered(ds: ray.data.Dataset, stage: str,
             metrics: Metrics) -> ray.data.Dataset:
     """Identity tap: counts rows/batches flowing through ``stage``.
     Blocks pass through unchanged (entire-block batches, pyarrow
-    zero-copy); the count is one fire-and-forget actor call per block.
+    zero-copy); the count is one acked actor call per block — the ack
+    is the flush barrier that makes a post-execution ``snapshot()``
+    exact (a fire-and-forget add from another worker can still be
+    queued when the driver reads the actor). Counts accumulate per
+    execution of the tapped dataset; ``reset()`` between executions.
     """
     actor = metrics.actor
 
     def tap(batch: pa.Table) -> pa.Table:
-        actor.add.remote(stage, batch.num_rows)
+        ray.get(actor.add.remote(stage, batch.num_rows))
         return batch
 
     return ds.map_batches(tap, batch_format="pyarrow", batch_size=None)

@@ -25,12 +25,17 @@ class FakeES:
     sliced scrolls (disjoint round-robin by numeric _id, as ES splits
     an index) and optional transient failures."""
 
-    def __init__(self, docs=DOCS, fail_every: int | None = None):
+    def __init__(self, docs=DOCS, fail_every: int | None = None,
+                 lose_response_at: int | None = None):
         self.docs = docs
         self.cursors: dict[str, list] = {}
         self.cleared: list[str] = []
         self.calls = 0
         self.fail_every = fail_every
+        # scroll call number whose RESPONSE is lost AFTER the server
+        # advanced the cursor (the non-idempotent failure mode)
+        self.lose_response_at = lose_response_at
+        self.scroll_calls = 0
         self._next = 0
 
     def __call__(self, op: str, **kw):
@@ -52,9 +57,13 @@ class FakeES:
                     "hits": {"hits": docs[:size]}}
         if op == "scroll":
             sid = kw["scroll_id"]
+            self.scroll_calls += 1
             rest = self.cursors.get(sid, [])
             # ES keeps the page size of the original search; fake: 10
             page, self.cursors[sid] = rest[:10], rest[10:]
+            if self.scroll_calls == self.lose_response_at:
+                # cursor already advanced; only the response is lost
+                raise ConnectionError("response lost")
             return {"_scroll_id": sid, "hits": {"hits": page}}
         if op == "clear":
             self.cleared.append(kw["scroll_id"])
@@ -72,7 +81,20 @@ def test_scroll_pages_paginates_and_clears():
 
 
 def test_scroll_retries_transient_failures():
-    es = FakeES(fail_every=5)  # every 5th call raises once
+    # one transient scroll failure mid-stream: the slice restarts from
+    # the initial search and fast-forwards, so the stream is complete,
+    # in order, and duplicate-free
+    es = FakeES(lose_response_at=2)
+    records = fetch_all_records(es, "idx", {"query": {}}, page_size=10)
+    assert [r["_id"] for r in records] == [d["_id"] for d in DOCS]
+    assert es.cleared  # the broken cursor was cleared on restart
+
+
+def test_scroll_restart_does_not_skip_advanced_page():
+    # THE non-idempotent case (ADVICE r2): the server advances the
+    # cursor but the response is lost. A naive scroll retry would
+    # silently skip that page; the restart-from-search path must not.
+    es = FakeES(lose_response_at=3)
     records = fetch_all_records(es, "idx", {"query": {}}, page_size=10)
     assert [r["_id"] for r in records] == [d["_id"] for d in DOCS]
 

@@ -179,3 +179,33 @@ def test_write_merged_tar_layout(ray_session, tmp_path):
     assert sum(1 for l in node_lines if l.startswith("id\t")) == 1
     assert {l.split("\t")[0] for l in node_lines[1:]} == \
         {f"N:{i}" for i in range(20)}
+
+
+def test_write_merged_tar_empty_dataset_keeps_header(ray_session, tmp_path):
+    """ADVICE r2: an empty nodes/edges dataset yields no part files;
+    the archived TSV must still carry the header line (the reference
+    always writes it)."""
+    import tarfile
+
+    import pyarrow as pa
+    import ray.data
+
+    from kg_covid_19_ray.io.kgx import write_merged_tar
+
+    schema_nodes = pa.schema([("id", pa.string()), ("name", pa.string()),
+                              ("category", pa.string())])
+    schema_edges = pa.schema([("subject", pa.string()),
+                              ("predicate", pa.string()),
+                              ("object", pa.string())])
+    nodes = ray.data.from_arrow(schema_nodes.empty_table())
+    edges = ray.data.from_arrow(schema_edges.empty_table())
+    out = str(tmp_path / "empty-kg.tar.gz")
+    write_merged_tar(nodes, edges, out)
+
+    with tarfile.open(out) as tar:
+        node_lines = tar.extractfile("merged-kg_nodes.tsv") \
+                        .read().decode().splitlines()
+        edge_lines = tar.extractfile("merged-kg_edges.tsv") \
+                        .read().decode().splitlines()
+    assert node_lines == ["id\tname\tcategory"]
+    assert edge_lines == ["subject\tpredicate\tobject"]

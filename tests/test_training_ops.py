@@ -165,3 +165,26 @@ def test_ann_ivf_kmeans_recall(ray_session):
     full = S.ann_ivf_kmeans(sf, probes=S.IVF_CELLS).to_pandas()
     f = set(zip(full["q_id"], full["n_id"]))
     assert f == e  # exhaustive probing == brute force, any quantizer
+
+
+def test_exact_dedup_null_text_not_aliased(ray_session, tmp_path):
+    """ADVICE r2: factorize codes nulls as -1; without fillna the null
+    rows silently joined the LAST unique's duplicate group. Null text
+    must group with empty string, never with an unrelated text."""
+    import hashlib
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["alpha", None, "omega", None],
+    }).to_parquet(d / "documents.parquet")
+    out = dedup_ops.exact_dedup(str(d)).to_pandas()
+    assert len(out) == 3  # alpha, omega, '' (both nulls)
+    empty_fp = hashlib.md5(b"").hexdigest()
+    grp = out[out["fp"] == empty_fp]
+    assert len(grp) == 1
+    assert grp.iloc[0]["n_docs"] == 2 and grp.iloc[0]["keep_doc_id"] == 1
+    # the real texts keep their own groups
+    omega = out[out["fp"] == hashlib.md5(b"omega").hexdigest()]
+    assert omega.iloc[0]["n_docs"] == 1
