@@ -64,10 +64,11 @@ def q_kg_degrees(sf_dir: str):
 
 def q_kg_components(sf_dir: str):
     """Distributed connected components over the same-as table —
-    label-propagation union-find (north star); oracle = recursive CTE."""
+    quotient-graph contraction union-find (north star); oracle =
+    recursive CTE. num_partitions derives from cluster CPUs."""
     edges = ray.data.from_items(
         [{"a": a, "b": b} for a, b in gz.SAMEAS_EDGES])
-    return connected_components(edges, num_partitions=2)
+    return connected_components(edges)
 
 
 COOCCUR_PREDICATE = "biolink:correlated_with"  # scibite_cord.py:327-340
