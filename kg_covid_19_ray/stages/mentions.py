@@ -4,20 +4,40 @@ The reference walks each document's ``termite_hits`` maps and unions hit
 ids per document (scibite_cord.py:141-171,342-359). Here mentions are
 *detected* from page text with a gazetteer — the
 dictionary-NER stand-in the north star asks for — as an ACTOR-POOL
-``map_batches`` stage: pattern state is built once per actor in
+``map_batches`` stage: dictionary state is built once per actor in
 ``__init__`` (the Ray analog of the reference loading its lookup maps in
 ``Transform.__init__``, string_ppi.py:53-59), and each ``__call__`` is
-fully vectorized — one RE2 scan per gazetteer term per batch via
-``pyarrow.compute.match_substring_regex``, no Python per row.
+fully vectorized.
 
-Scaling note: per-term vectorized scans are linear in |gazetteer|; for
-gazetteers beyond ~10^3 surface forms swap the inner loop for a single
-Aho-Corasick automaton pass per batch (same emitted schema, same actor
-shape) — the pipeline around this stage does not change.
+Two matching engines, chosen per surface form at ``__init__``
+(round-2 verdict item 2 — the per-term sweep was the flagship's wall at
+realistic gazetteer sizes):
+
+- **token-hash dictionary match** (the Aho-Corasick-class path, and the
+  default): tokenize every text ONCE per batch (``\\W+`` split — token
+  membership is exactly RE2 ``\\b<surface>\\b`` for all-word-char
+  surfaces), then ONE Arrow C-level hash probe (``pc.index_in``) of all
+  tokens against the surface dictionary. Cost is O(total tokens) per
+  batch, INDEPENDENT of gazetteer size — the property an automaton
+  buys, delivered by vectorized kernels instead of a per-character
+  Python trie walk (no AC library in this stack; a pure-Python
+  automaton would be orders slower than Arrow's hash probe).
+- **per-term RE2 sweep** for surfaces where token semantics can't
+  reproduce ``\\b`` (non-word characters: multi-word phrases,
+  hyphenated forms), and for SMALL gazetteers entirely: on the
+  real corpus shape (~300-char docs) the tokenize+flatten allocation
+  costs ~a 30-term sweep (measured 59ms vs 25ms@12 terms vs
+  ~2ms/term per 8k-doc batch), so below ``SMALL_GAZETTEER_MAX``
+  terms the sweep wins and the headline bench keeps its r2 profile.
+
+Duplicate surface forms map to ALL their entries (CSR expansion of the
+probe hits), and per-document hit de-duplication is a packed-int64
+``np.unique`` — both vectorized.
 """
 
 from __future__ import annotations
 
+import re
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -32,6 +52,9 @@ MENTION_SCHEMA = pa.schema([
     ("raw_id", pa.string()),
 ])
 
+# below this entry count the per-term RE2 sweep beats the tokenize +
+# hash-probe path (measured crossover ~30 terms on ~300-char docs)
+SMALL_GAZETTEER_MAX = 32
 
 class MentionDetector:
     """Callable class for ``map_batches(..., concurrency=N)``.
@@ -44,29 +67,84 @@ class MentionDetector:
 
     def __init__(self, gazetteer: list[tuple[str, str, str, str]] | None = None):
         entries = gazetteer if gazetteer is not None else GAZETTEER
-        # per-actor setup: patterns + output constants, built once
-        import re as _re
-        self.patterns = [rf"\b{_re.escape(surface)}\b"
-                         for surface, _, _, _ in entries]
         self.surfaces = [surface for surface, _, _, _ in entries]
         self.raw_ids = [raw_id for _, raw_id, _, _ in entries]
+        self.n_entries = len(entries)
+
+        # split entries: token-hash path for pure-word surfaces,
+        # regex sweep for the rest (\b semantics can't be tokenized) —
+        # or for everything when the gazetteer is below the measured
+        # tokenization-cost crossover
+        import os
+        small_max = int(os.environ.get("KG_RAY_SMALL_GAZETTEER_MAX",
+                                       str(SMALL_GAZETTEER_MAX)))
+        fast: dict[str, list[int]] = {}
+        self.slow: list[tuple[int, str]] = []
+        for idx, surface in enumerate(self.surfaces):
+            if self.n_entries > small_max and re.fullmatch(r"\w+", surface):
+                fast.setdefault(surface, []).append(idx)
+            else:
+                self.slow.append((idx, rf"\b{re.escape(surface)}\b"))
+        # CSR expansion: unique surface u -> gaz indices
+        # exp_gaz[exp_off[u]:exp_off[u+1]]
+        uniq = list(fast)
+        self.fast_value_set = pa.array(uniq, pa.string())
+        counts = np.fromiter((len(fast[u]) for u in uniq), np.int64,
+                             len(uniq))
+        self.exp_off = np.concatenate(([0], np.cumsum(counts)))
+        self.exp_gaz = np.fromiter(
+            (g for u in uniq for g in fast[u]), np.int32,
+            int(counts.sum())) if uniq else np.empty(0, np.int32)
+
+    def _fast_hits(self, text: pa.Array, n_docs: int):
+        """(doc_row, gaz_idx) int arrays from the token-hash probe."""
+        if len(self.fast_value_set) == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int32))
+        toks = pc.split_pattern_regex(pc.fill_null(text, ""), r"\W+")
+        toks = toks.combine_chunks() if isinstance(
+            toks, pa.ChunkedArray) else toks
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        pos = pc.index_in(flat, value_set=self.fast_value_set)
+        valid = pc.is_valid(pos)
+        sel = pc.filter(pos, valid).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_rows = tok_doc[valid.to_numpy(zero_copy_only=False)]
+        if len(sel) == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int32))
+        # expand duplicate-surface entries (CSR gather, vectorized)
+        counts = self.exp_off[sel + 1] - self.exp_off[sel]
+        total = int(counts.sum())
+        intra = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(counts) - counts, counts)
+        gaz = self.exp_gaz[np.repeat(self.exp_off[sel], counts) + intra]
+        return (np.repeat(doc_rows, counts), gaz)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch["text"].combine_chunks() if isinstance(
             batch["text"], pa.ChunkedArray) else batch["text"]
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_docs: list[np.ndarray] = []
-        out_idx: list[np.ndarray] = []
-        for idx, pattern in enumerate(self.patterns):
-            mask = pc.fill_null(pc.match_substring_regex(text, pattern), False)
+
+        doc_rows, gaz = self._fast_hits(text, len(doc_ids))
+        # one (doc, entry) row regardless of occurrence count: pack to
+        # int64 and unique (C-level; replaces any per-row Python)
+        key = np.unique(doc_rows * np.int64(self.n_entries) + gaz)
+        out_docs = [doc_ids[key // self.n_entries]]
+        out_idx = [(key % self.n_entries).astype(np.int32)]
+
+        for idx, pattern in self.slow:
+            mask = pc.fill_null(pc.match_substring_regex(text, pattern),
+                                False)
             hits = doc_ids[mask.to_numpy(zero_copy_only=False)]
             if len(hits):
                 out_docs.append(hits)
                 out_idx.append(np.full(len(hits), idx, dtype=np.int32))
-        if not out_docs:
-            return MENTION_SCHEMA.empty_table()
+
         docs = np.concatenate(out_docs)
         idxs = np.concatenate(out_idx)
+        if len(docs) == 0:
+            return MENTION_SCHEMA.empty_table()
         idx_arr = pa.array(idxs, pa.int32())
         # C-level gather instead of a Python listcomp over every
         # emitted mention row (the output is ~7 rows per input page)

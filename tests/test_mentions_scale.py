@@ -1,0 +1,89 @@
+"""Mention detector at realistic gazetteer sizes (round-3 item 2).
+
+The token-hash dictionary path must agree EXACTLY with brute-force
+RE2 ``\\b<surface>\\b`` per-term matching — at 2k+ surface forms,
+with duplicate surfaces, multi-word phrases and hyphenated forms
+(slow path), punctuation-adjacent tokens, and null text.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from kg_covid_19_ray.stages.mentions import MentionDetector
+
+
+def _brute_force(entries, texts, doc_ids):
+    hits = set()
+    for idx, (surface, _, _, _) in enumerate(entries):
+        pat = re.compile(rf"\b{re.escape(surface)}\b")
+        for d, t in zip(doc_ids, texts):
+            if t is not None and pat.search(t):
+                hits.add((d, idx))
+    return hits
+
+
+def _detector_hits(det, texts, doc_ids):
+    batch = pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = det(batch)
+    return set(zip(out["doc_id"].to_pylist(), out["gaz_idx"].to_pylist()))
+
+
+def test_detector_parity_2k_terms():
+    rng = np.random.RandomState(42)
+    vocab = [f"term{i:04d}" for i in range(3000)]
+    entries = [(vocab[i], f"RAW:{i}", "", "") for i in range(2000)]
+    # duplicate surface -> two entries (CSR expansion path)
+    entries.append((vocab[7], "RAW:dup", "", ""))
+    # slow-path surfaces: multi-word + hyphenated
+    entries.append(("term0001 term0002", "RAW:phrase", "", ""))
+    entries.append(("spike-protein", "RAW:hyphen", "", ""))
+
+    texts, doc_ids = [], []
+    for d in range(300):
+        words = list(rng.choice(vocab, size=40))
+        if d % 7 == 0:
+            words.insert(3, "term0001 term0002")  # phrase hit
+        if d % 11 == 0:
+            words.append("spike-protein")
+        if d % 13 == 0:
+            words.append("term0007,")  # punctuation-adjacent: \b match
+        texts.append(" ".join(words))
+        doc_ids.append(d)
+    texts.append(None)  # null text must not crash or match
+    doc_ids.append(999)
+
+    det = MentionDetector(entries)
+    assert _detector_hits(det, texts, doc_ids) == \
+        _brute_force(entries, texts, doc_ids)
+
+
+def test_detector_duplicate_surface_emits_all_entries(monkeypatch):
+    # force the token-hash path despite the tiny gazetteer (below the
+    # size threshold it would take the per-term sweep)
+    monkeypatch.setenv("KG_RAY_SMALL_GAZETTEER_MAX", "0")
+    entries = [("alpha", "RAW:1", "", ""), ("alpha", "RAW:2", "", ""),
+               ("beta", "RAW:3", "", "")]
+    det = MentionDetector(entries)
+    assert len(det.fast_value_set) == 2  # token-hash path active
+    got = _detector_hits(det, ["alpha beta", "gamma alpha", "delta"],
+                         [0, 1, 2])
+    assert got == {(0, 0), (0, 1), (0, 2), (1, 0), (1, 1)}
+
+
+def test_detector_token_boundary_not_substring(monkeypatch):
+    # 'spark' must not match inside 'sparkle' (\b semantics), on BOTH
+    # matching engines
+    texts = ["sparkle plug", "a spark here", "spark,end", "espark"]
+    entries = [("spark", "RAW:1", "", "")]
+    for small_max in ("0", "32"):
+        monkeypatch.setenv("KG_RAY_SMALL_GAZETTEER_MAX", small_max)
+        det = MentionDetector(entries)
+        got = _detector_hits(det, texts, [0, 1, 2, 3])
+        assert got == {(1, 0), (2, 0)}, f"small_max={small_max}"
