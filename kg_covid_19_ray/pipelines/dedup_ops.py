@@ -518,12 +518,15 @@ def minhash_near_dups(sf_dir: str,
                                              "text": f"text_{side}"})
             return fn
 
+        from kg_covid_19_ray.functions.partitions import \
+            derive_num_partitions
+        nparts = derive_num_partitions()
         cand = cand.join(
             docs.map_batches(prep("doc_a"), batch_format="pandas"),
-            join_type="inner", num_partitions=8, on=("doc_a",))
+            join_type="inner", num_partitions=nparts, on=("doc_a",))
         cand = cand.join(
             docs.map_batches(prep("doc_b"), batch_format="pandas"),
-            join_type="inner", num_partitions=8, on=("doc_b",))
+            join_type="inner", num_partitions=nparts, on=("doc_b",))
 
         def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
             jac = np.empty(len(batch))

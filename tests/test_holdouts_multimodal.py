@@ -161,3 +161,34 @@ def test_holdout_connected_train_keeps_components(ray_session, sf_small):
     remap = {}
     for n, c in train.items():
         assert remap.setdefault(c, full[n]) == full[n]
+
+
+def test_spanning_forest_boruvka_path(ray_session):
+    """Force the distributed Boruvka finish (max_local_edges below the
+    survivor count) and assert the same forest invariants: exact edge
+    count and identical component partition."""
+    import numpy as np
+    import ray.data
+    from kg_covid_19_ray.stages.cluster import spanning_forest
+
+    rng = np.random.RandomState(13)
+    edges = [(f"N:{a:04d}", f"N:{b:04d}")
+             for a, b in zip(rng.randint(0, 300, 1500),
+                             rng.randint(0, 300, 1500)) if a != b]
+    edges += [(f"C:{i:03d}", f"C:{i+1:03d}") for i in range(80)]
+    ds = ray.data.from_items(
+        [{"a": a, "b": b} for a, b in edges]).repartition(8)
+    forest = spanning_forest(ds, max_local_edges=50).to_pandas()
+
+    full = _uf_components(edges)
+    n_nodes = len(full)
+    n_comps = len(set(full.values()))
+    assert len(forest) == n_nodes - n_comps
+    got = _uf_components(list(zip(forest["a"], forest["b"])))
+    assert len(got) == n_nodes
+    remap = {}
+    for n, c in got.items():
+        assert remap.setdefault(c, full[n]) == full[n]
+    # every forest edge is an input edge (originals, not supernode ids)
+    eset = set(edges) | {(b, a) for a, b in edges}
+    assert all(t in eset for t in zip(forest["a"], forest["b"]))
