@@ -306,16 +306,24 @@ def ann_ivf(sf_dir: str, probes: int = IVF_PROBES) -> ray.data.Dataset:
 
 IVF_KMEANS_ITERS = 5
 IVF_KMEANS_SAMPLE = 4096
+IVF_KMEANS_ROUND = 12  # centroid rounding: keeps numpy == DuckDB
 
 
-def _train_kmeans(mat: np.ndarray, k: int, iters: int,
-                  seed: int = 13) -> np.ndarray:
-    """Seeded spherical Lloyd iterations over a sample matrix: the
-    trained coarse quantizer for the web-scale IVF path. Deterministic;
-    empty cells keep their previous centroid."""
-    rng = np.random.RandomState(seed)
+def _train_kmeans(mat: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Spherical Lloyd iterations over a sample matrix: the trained
+    coarse quantizer for the web-scale IVF path. Deterministic and
+    SQL-reproducible by construction: init is the first ``k`` sample
+    rows (no RNG — the arbitrariness of a seeded draw with none of the
+    cross-engine opacity), assignment ties break to the lowest
+    centroid id (argmax-first), empty cells keep their previous
+    centroid, and centroids are rounded to ``IVF_KMEANS_ROUND``
+    decimals after every update so the engine and the DuckDB oracle
+    (which recomputes this exact loop in chained CTEs,
+    ``_ann_ivf_kmeans_sql``) cannot drift: if assignments agree, the
+    rounded centroids are bit-identical, so float error never
+    compounds across iterations."""
     k = min(k, len(mat))
-    cent = mat[np.sort(rng.choice(len(mat), size=k, replace=False))].copy()
+    cent = mat[:k].copy()
     mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
                           1e-300)
     for _ in range(iters):
@@ -326,18 +334,21 @@ def _train_kmeans(mat: np.ndarray, k: int, iters: int,
             members = mat[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
+        cent = np.round(cent, IVF_KMEANS_ROUND)
     return cent
 
 
 def ann_ivf_kmeans(sf_dir: str, probes: int = IVF_PROBES,
                    iters: int = IVF_KMEANS_ITERS) -> ray.data.Dataset:
-    """IVF with a TRAINED coarse quantizer: seeded k-means (spherical
-    Lloyd) over a deterministic sample of the table, then the exact
-    same broadcast/assign/probe/rerank dataflow as ``ann_ivf``. The
+    """IVF with a TRAINED coarse quantizer: k-means (spherical Lloyd)
+    over a deterministic sample of the table, then the exact same
+    broadcast/assign/probe/rerank dataflow as ``ann_ivf``. The
     training sample is the first IVF_KMEANS_SAMPLE vectors by id — at
     web scale it becomes ``Dataset.random_sample`` pulled to the
-    driver, still a tiny fraction of the table. Approximate (rows-only
-    driver check); recall vs brute force asserted in tests."""
+    driver, still a tiny fraction of the table. Fully value-checkable:
+    the DuckDB oracle retrains the same quantizer in SQL
+    (``_ann_ivf_kmeans_sql``); recall vs brute force also asserted in
+    tests."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -506,6 +517,84 @@ QUALIFY row_number() OVER (
 """
 
 
+def _ann_ivf_kmeans_sql(iters: int = IVF_KMEANS_ITERS) -> str:
+    """SQL oracle for ``ann_ivf_kmeans``: retrains the coarse
+    quantizer INSIDE DuckDB — one chained CTE pair (assign -> mean ->
+    carry-forward) per Lloyd iteration, mirroring ``_train_kmeans``
+    exactly (first-K init, cosine argmax with ties to the lowest cell,
+    empty cells keep their previous centroid, centroids rounded to
+    IVF_KMEANS_ROUND decimals per iteration) — then runs the same
+    assignment/probe/rerank tail as ``ANN_IVF_SQL`` against the
+    trained centroids. Because both engines round centroids each
+    iteration, agreement on assignments implies bit-identical
+    centroids, so the only divergence risk is an argmax flip on a
+    near-exact cosine tie — the same (test-verified-absent) risk class
+    as the LSH plane-sign oracle. Scale-independent: no data-derived
+    literals, so the oracle is valid at ANY sf."""
+    r = IVF_KMEANS_ROUND
+    ctes = [f"""WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+), sample AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rid, emb
+    FROM v ORDER BY vec_id LIMIT {IVF_KMEANS_SAMPLE}
+), dims AS (
+    SELECT unnest(generate_series(1, len(emb))) AS i
+    FROM (SELECT emb FROM sample LIMIT 1)
+), cent0 AS (
+    SELECT rid AS c_id, emb AS c_emb FROM sample WHERE rid < {IVF_CELLS}
+)"""]
+    for it in range(1, iters + 1):
+        p = it - 1
+        ctes.append(f""", assign{it} AS (
+    SELECT rid, c_id FROM (
+        SELECT s.rid, c.c_id,
+               row_number() OVER (PARTITION BY s.rid
+                   ORDER BY list_cosine_similarity(s.emb, c.c_emb) DESC,
+                            c.c_id) AS rn
+        FROM sample s CROSS JOIN cent{p} c) WHERE rn = 1
+), mean{it} AS (
+    SELECT c_id, list(m ORDER BY i) AS c_emb FROM (
+        SELECT a.c_id, d.i, avg(s.emb[d.i]) AS m
+        FROM assign{it} a JOIN sample s USING (rid)
+        CROSS JOIN dims d
+        GROUP BY a.c_id, d.i)
+    GROUP BY c_id
+), cent{it} AS (
+    SELECT c0.c_id,
+           list_transform(coalesce(m.c_emb, c0.c_emb),
+                          x -> round(x, {r})) AS c_emb
+    FROM cent{p} c0 LEFT JOIN mean{it} m USING (c_id)
+)""")
+    ctes.append(f""", ranked AS (
+    SELECT v.vec_id, c.c_id,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.emb, c.c_emb) DESC,
+                        c.c_id) AS rn
+    FROM v CROSS JOIN cent{iters} c
+), assign AS (
+    SELECT vec_id, c_id FROM ranked WHERE rn = 1
+), probes AS (
+    SELECT vec_id AS q_id, c_id FROM ranked
+    WHERE vec_id < {ANN_NUM_QUERIES} AND rn <= {IVF_PROBES}
+), cand AS (
+    SELECT DISTINCT p.q_id, a.vec_id AS n_id
+    FROM probes p JOIN assign a ON a.c_id = p.c_id
+    WHERE a.vec_id <> p.q_id
+)
+SELECT c.q_id, c.n_id,
+       round(list_cosine_similarity(q.emb, m.emb), 6) AS cos
+FROM cand c
+JOIN v q ON q.vec_id = c.q_id
+JOIN v m ON m.vec_id = c.n_id
+QUALIFY row_number() OVER (
+    PARTITION BY c.q_id
+    ORDER BY round(list_cosine_similarity(q.emb, m.emb), 6) DESC, c.n_id)
+    <= {ANN_K}
+""")
+    return "".join(ctes)
+
+
 def _ann_lsh_sql(dim: int = 64) -> str:
     """SQL oracle for ann_lsh: the seeded hyperplanes are embedded as
     float literals (repr round-trips float64 exactly), the bucket ids
@@ -563,7 +652,7 @@ REGISTRY = {
     "ann_lsh": (ann_lsh, _ann_lsh_sql()),  # planes embedded as literals
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "ann_ivf_exact": (ann_ivf_exact, ANN_BRUTEFORCE_SQL),
-    "ann_ivf_kmeans": (ann_ivf_kmeans, None),  # trained quantizer
+    "ann_ivf_kmeans": (ann_ivf_kmeans, _ann_ivf_kmeans_sql()),
 
     "ann_knn_classify": (knn_classify, KNN_CLASSIFY_SQL),
     "embedding_pair_topk": (embedding_pair_topk, EMBEDDING_PAIR_TOPK_SQL),
