@@ -2,29 +2,42 @@
 payloads + typed metadata, with decode / feature-extraction / resize /
 frame-sampling as actor-pool ``map_batches`` stages.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-behind ``_Codec``: it tries real libraries (PIL) in ``__init__`` and
-falls back to a clearly-marked DETERMINISTIC FAKE that reinterprets the
-payload bytes as the pixel/sample buffer. Everything around the stub —
-schema, broadcast-free dataflow, actor signatures, small-batch sizing
-for large payloads, output layout — is real and tested.
+The DECODE step runs for real: payloads are spec-conformant grayscale
+8-bit PNG (images, video keyframes) and mono 8-bit PCM WAV (audio),
+decoded by the pure-stdlib codecs in ``functions/codecs.py``
+(chunk/CRC parsing, DEFLATE, PNG row unfiltering — no PIL needed).
+``_Codec`` still probes for PIL first per actor so a production
+deployment swaps the backend without touching the dataflow; a payload
+that is neither PNG nor RIFF/WAVE raises loudly. Video is one encoded
+keyframe + frame-count metadata — frame extraction from a real
+container format is the one remaining stubbed seam (no video codec in
+the sandbox); ``media_frame_sample`` exercises its row-explosion
+plumbing against the metadata.
 
-Media rows are synthesized deterministically from the documents table
-(doc_id-seeded bytes; metadata is pure arithmetic on doc_id so the
-metadata aggregate has a DuckDB oracle). At web scale the payloads are
-the large side: batches are kept small (``MEDIA_BATCH``) so
-batch x concurrency fits a worker heap, and payload columns are dropped
-as soon as features are extracted (project early).
+Media rows are synthesized deterministically from the documents table:
+metadata AND pixel/sample content are pure arithmetic on ``doc_id``
+(pixel i = (doc_id*7 + i*13) % 256), so decode-dependent outputs
+(``media_features``, ``media_thumbnails``) have full DuckDB value
+oracles — the SQL regenerates the pixels with ``range()`` and
+aggregates them. All feature math uses exact int64 sums before one
+float64 division so numpy and DuckDB produce bit-identical doubles.
+At web scale the payloads are the large side: batches are kept small
+(``MEDIA_BATCH``) so batch x concurrency fits a worker heap, and
+payload columns are dropped as soon as features are extracted
+(project early).
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+
+from kg_covid_19_ray.functions.codecs import (_PNG_SIG, decode_png_gray,
+                                              decode_wav_u8,
+                                              encode_png_gray,
+                                              encode_wav_u8)
 
 MEDIA_BATCH = 64  # payload rows per batch: large-binary safety sizing
 KINDS = ("image", "audio", "video")
@@ -43,11 +56,20 @@ def _meta_for(doc_id: int) -> tuple[str, int, int, int]:
     return kind, width, height, n_frames
 
 
-def _payload_for(doc_id: int, width: int, height: int) -> bytes:
-    """Deterministic opaque bytes standing in for an encoded asset."""
-    seed = hashlib.md5(str(doc_id).encode()).digest()
-    rng = np.random.RandomState(int.from_bytes(seed[:4], "big"))
-    return rng.bytes(width * height)
+def _pixels_for(doc_id: int, width: int, height: int) -> np.ndarray:
+    """SQL-reproducible content: pixel/sample i = (doc_id*7+i*13)%256."""
+    i = np.arange(width * height, dtype=np.int64)
+    return ((doc_id * 7 + i * 13) % 256).astype(np.uint8)
+
+
+def _payload_for(doc_id: int, kind: str, width: int, height: int) -> bytes:
+    """Deterministic ENCODED asset: PNG for image/video keyframes, WAV
+    for audio. (Test/bench scaffolding — a real deployment reads assets
+    from storage; the decode stages below are the product code.)"""
+    pix = _pixels_for(doc_id, width, height)
+    if kind == "audio":
+        return encode_wav_u8(pix)
+    return encode_png_gray(pix.reshape(height, width))
 
 
 def media_table(sf_dir: str) -> ray.data.Dataset:
@@ -65,7 +87,7 @@ def media_table(sf_dir: str) -> ray.data.Dataset:
             "doc_id": pa.array(ids, pa.int64()),
             "kind": pa.array([m[0] for m in metas], pa.string()),
             "payload": pa.array(
-                [_payload_for(int(i), m[1], m[2])
+                [_payload_for(int(i), m[0], m[1], m[2])
                  for i, m in zip(ids, metas)], pa.binary()),
             "width": pa.array([m[1] for m in metas], pa.int32()),
             "height": pa.array([m[2] for m in metas], pa.int32()),
@@ -77,24 +99,38 @@ def media_table(sf_dir: str) -> ray.data.Dataset:
 
 
 class _Codec:
-    """Decode stub. Tries the real codec libraries once per actor; the
-    sandbox has none, so the deterministic fake path runs: payload
-    bytes ARE the sample buffer. Swapping in a real decoder changes
-    ONLY this class."""
+    """Real decode seam, built once per actor. Probes PIL first (the
+    production backend); the sandbox has none, so the pure-stdlib
+    PNG/WAV decoders run — real chunk parsing, CRC verification,
+    DEFLATE and row unfiltering, not a byte-reinterpretation fake.
+    Swapping in a richer decoder changes ONLY this class."""
 
     def __init__(self):
         try:  # pragma: no cover - not installed in this container
             from PIL import Image  # noqa: F401
             self.backend = "pil"
         except ImportError:
-            self.backend = "fake"
+            self.backend = "stdlib"
 
     def decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        if self.backend == "fake":
-            return np.frombuffer(payload, dtype=np.uint8)[
-                :width * height].reshape(height, width)
-        raise NotImplementedError(  # pragma: no cover
-            "real codec path requires PIL; not available in sandbox")
+        """Sniff the container and decode to a (height, width) uint8
+        grid (audio samples are reshaped to the metadata grid). Unknown
+        containers raise — corrupt assets must surface, not alias."""
+        if payload[:8] == _PNG_SIG:
+            x = decode_png_gray(payload)
+            if x.shape != (height, width):
+                raise ValueError(
+                    f"decoded PNG shape {x.shape} != metadata "
+                    f"({height}, {width})")
+            return x
+        if payload[:4] == b"RIFF":
+            s = decode_wav_u8(payload)
+            if s.size != width * height:
+                raise ValueError(
+                    f"decoded WAV length {s.size} != metadata "
+                    f"{width * height}")
+            return s.reshape(height, width)
+        raise ValueError("unknown media container (not PNG or WAV)")
 
 
 class MediaFeatures:
@@ -106,11 +142,20 @@ class MediaFeatures:
         self.codec = _Codec()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        pix = [self.codec.decode(p.as_py(), w.as_py(), h.as_py())
-               for p, w, h in zip(batch["payload"], batch["width"],
-                                  batch["height"])]
-        mean = np.array([float(x.mean()) for x in pix])
-        std = np.array([float(x.std()) for x in pix])
+        # exact int64 sums then ONE float64 division each — mirrors the
+        # SQL oracle's sum()/count() arithmetic bit-for-bit
+        mean = np.empty(len(batch))
+        std = np.empty(len(batch))
+        for j, (p, w, h) in enumerate(zip(batch["payload"],
+                                          batch["width"],
+                                          batch["height"])):
+            x = self.codec.decode(p.as_py(), w.as_py(),
+                                  h.as_py()).astype(np.int64)
+            n = x.size
+            m = x.sum() / n
+            var = (x * x).sum() / n - m * m
+            mean[j] = m
+            std[j] = np.sqrt(max(var, 0.0))
         return pa.table({
             "asset_id": batch["asset_id"],
             "kind": batch["kind"],
@@ -125,11 +170,34 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
         concurrency=(1, 4), num_cpus=1)
 
 
+# Oracle regenerates the pixel stream with range() and aggregates with
+# exact BIGINT sums; float ops then match numpy exactly (sums < 2^53).
+MEDIA_FEATURES_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+         (d.doc_id * 7 + i * 13) % 256 AS v
+  FROM documents d,
+       LATERAL (SELECT unnest(range((32 + (d.doc_id % 8) * 16)
+                                    * (32 + (d.doc_id % 5) * 16))) AS i)
+)
+SELECT doc_id AS asset_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       floor((sum(v)::DOUBLE / count(*)) * 1e4 + 0.5) / 1e4 AS px_mean,
+       floor(sqrt(greatest(
+           sum(v * v)::DOUBLE / count(*)
+           - (sum(v)::DOUBLE / count(*)) * (sum(v)::DOUBLE / count(*)),
+           0.0)) * 1e4 + 0.5) / 1e4 AS px_std
+FROM px GROUP BY doc_id
+"""
+
+
 class MediaResize:
     """Actor-pool resize stage: decode then area-average down to a
-    THUMB_W x THUMB_H thumbnail (pure numpy on the fake buffer; a real
-    backend would call Image.resize here). Output is the flattened
-    thumbnail as a fixed-size list column."""
+    THUMB_W x THUMB_H thumbnail (exact int64 block sums, one float64
+    division, rounded at 1e-4 — a PIL backend would call Image.resize
+    here). Output is the flattened thumbnail as a fixed-size list
+    column."""
 
     def __init__(self):
         self.codec = _Codec()
@@ -138,22 +206,69 @@ class MediaResize:
         thumbs = []
         for p, w, h in zip(batch["payload"], batch["width"],
                            batch["height"]):
-            x = self.codec.decode(p.as_py(), w.as_py(), h.as_py())
+            x = self.codec.decode(p.as_py(), w.as_py(),
+                                  h.as_py()).astype(np.int64)
             hs, ws = x.shape[0] // THUMB_H, x.shape[1] // THUMB_W
             t = x[:hs * THUMB_H, :ws * THUMB_W] \
-                .reshape(THUMB_H, hs, THUMB_W, ws).mean(axis=(1, 3))
-            thumbs.append(t.reshape(-1).astype(np.float32))
+                .reshape(THUMB_H, hs, THUMB_W, ws) \
+                .sum(axis=(1, 3)) / (hs * ws)
+            thumbs.append((np.floor(t.reshape(-1) * 1e4 + 0.5) / 1e4))
         return pa.table({
             "asset_id": batch["asset_id"],
             "thumb": pa.array(list(thumbs),
-                              pa.list_(pa.float32(), THUMB_W * THUMB_H)),
+                              pa.list_(pa.float64(), THUMB_W * THUMB_H)),
         })
 
 
-def media_thumbnails(sf_dir: str) -> ray.data.Dataset:
+def _thumb_vectors(sf_dir: str) -> ray.data.Dataset:
+    """Internal list-form thumbnails (feature vectors for near-dup)."""
     return media_table(sf_dir).map_batches(
         MediaResize, batch_format="pyarrow", batch_size=MEDIA_BATCH,
         concurrency=(1, 4), num_cpus=1)
+
+
+def media_thumbnails(sf_dir: str) -> ray.data.Dataset:
+    """Registered thumbnail query: one row per (asset, cell) so the
+    list payload is value-checkable against the SQL oracle (the driver
+    compare hashes scalar columns; the list form stays available via
+    ``_thumb_vectors`` for downstream vector consumers)."""
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        k = THUMB_W * THUMB_H
+        flat = np.asarray(batch["thumb"].combine_chunks().flatten()) \
+            if n else np.empty(0)
+        cell = np.tile(np.arange(k, dtype=np.int64), n)
+        return pa.table({
+            "asset_id": pa.array(
+                np.repeat(batch["asset_id"].to_numpy(), k), pa.int64()),
+            "ty": pa.array(cell // THUMB_W, pa.int32()),
+            "tx": pa.array(cell % THUMB_W, pa.int32()),
+            "val": pa.array(flat, pa.float64()),
+        })
+
+    return _thumb_vectors(sf_dir).map_batches(
+        explode, batch_format="pyarrow", batch_size=MEDIA_BATCH)
+
+
+# Thumbnail oracle: every width/height is a multiple of 8 (32 + 16k),
+# so blocks tile exactly and each cell is an exact BIGINT sum over
+# hs*ws pixels divided once in float64 — bit-identical to numpy.
+MEDIA_THUMBNAILS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 32 + (doc_id % 8) * 16 AS w, 32 + (doc_id % 5) * 16 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, w // {THUMB_W} AS ws, h // {THUMB_H} AS hs,
+         (doc_id * 7 + i * 13) % 256 AS v,
+         i // w AS y, i % w AS x
+  FROM dims, LATERAL (SELECT unnest(range(w * h)) AS i)
+)
+SELECT doc_id AS asset_id,
+       (y // hs)::INTEGER AS ty, (x // ws)::INTEGER AS tx,
+       floor((sum(v)::DOUBLE / count(*)) * 1e4 + 0.5) / 1e4 AS val
+FROM px
+GROUP BY doc_id, y // hs, x // ws
+"""
 
 
 def media_frame_sample(sf_dir: str) -> ray.data.Dataset:
@@ -216,10 +331,12 @@ MEDIA_PAIR_TOPK = 25
 
 def media_near_dups(sf_dir: str) -> ray.data.Dataset:
     """Multimodal -> similarity composition: decode + thumbnail each
-    asset (the fake-codec feature vector), then find the
-    MEDIA_PAIR_TOPK most-cosine-similar asset pairs among LSH candidate
-    pairs — the image near-duplicate detector's dataflow. Rows-only
-    driver check (the features come from the fake decode).
+    asset (real PNG/WAV decode), then find the MEDIA_PAIR_TOPK
+    most-cosine-similar asset pairs among LSH candidate pairs — the
+    image near-duplicate detector's dataflow. Rows-only driver check
+    (the LSH bucket recall + float32-era cosine path is approximate by
+    design; the underlying thumbnail values are oracle-pinned via
+    ``media_thumbnails``).
 
     Web-scale shape: NO driver materialization — the thumbnail Dataset
     is hashed into hyperplane-LSH buckets (reusing similarity's seeded
@@ -234,7 +351,7 @@ def media_near_dups(sf_dir: str) -> ray.data.Dataset:
     from kg_covid_19_ray.pipelines.similarity import (LSH_TABLES,
                                                       _signatures)
 
-    thumbs = media_thumbnails(sf_dir)
+    thumbs = _thumb_vectors(sf_dir)
 
     def emit_buckets(batch: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack([np.asarray(v, dtype=np.float64)
@@ -287,8 +404,8 @@ def media_near_dups(sf_dir: str) -> ray.data.Dataset:
 
 REGISTRY = {
     "media_meta_stats": (media_meta_stats, MEDIA_META_STATS_SQL),
-    "media_near_dups": (media_near_dups, None),  # fake-decode features
+    "media_near_dups": (media_near_dups, None),  # approximate LSH recall
     "media_frame_sample": (media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
-    "media_features": (media_features, None),   # fake-decode features
-    "media_thumbnails": (media_thumbnails, None),  # fake-decode resize
+    "media_features": (media_features, MEDIA_FEATURES_SQL),
+    "media_thumbnails": (media_thumbnails, MEDIA_THUMBNAILS_SQL),
 }

@@ -54,27 +54,46 @@ def test_media_table_schema_and_determinism(ray_session):
                                    "width", "height", "n_frames"}
     row = {c: t[c][0].as_py() for c in t.column_names}
     assert isinstance(row["payload"], bytes)
-    assert len(row["payload"]) == row["width"] * row["height"]
-    assert multimodal._payload_for(row["doc_id"], row["width"],
+    assert multimodal._payload_for(row["doc_id"], row["kind"], row["width"],
                                    row["height"]) == row["payload"]
+    # the payload is a real encoded asset: decoding recovers the
+    # arithmetic pixel content exactly
+    x = multimodal._Codec().decode(row["payload"], row["width"],
+                                   row["height"])
+    want = multimodal._pixels_for(row["doc_id"], row["width"],
+                                  row["height"]).reshape(row["height"],
+                                                         row["width"])
+    assert (x == want).all()
 
 
-def test_media_codec_falls_back_to_fake():
+def test_media_codec_stdlib_backend():
+    from kg_covid_19_ray.functions import codecs
     codec = multimodal._Codec()
-    assert codec.backend == "fake"  # no PIL in this container
-    buf = bytes(range(12))
-    x = codec.decode(buf, 4, 3)
-    assert x.shape == (3, 4) and x.dtype == np.uint8
-    assert x[0, 0] == 0 and x[2, 3] == 11
+    assert codec.backend == "stdlib"  # no PIL in this container
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    x = codec.decode(codecs.encode_png_gray(arr), 4, 3)
+    assert x.dtype == np.uint8 and (x == arr).all()
+    wav = codecs.encode_wav_u8(np.arange(12, dtype=np.uint8))
+    assert (codec.decode(wav, 4, 3) == arr).all()
+    import pytest
+    with pytest.raises(ValueError):  # unknown containers fail loudly
+        codec.decode(bytes(range(12)), 4, 3)
+    with pytest.raises(ValueError):  # metadata mismatch fails loudly
+        codec.decode(codecs.encode_png_gray(arr), 5, 3)
 
 
-def test_media_thumbnails_fixed_width_list(ray_session):
-    b = multimodal.media_thumbnails(SF).take_batch(5, batch_format="pyarrow")
+def test_media_thumbnails_exploded_cells(ray_session):
+    vec = multimodal._thumb_vectors(SF).take_batch(
+        5, batch_format="pyarrow")
     import pyarrow as pa
-    assert b["thumb"].type == pa.list_(
-        pa.float32(), multimodal.THUMB_W * multimodal.THUMB_H)
-    v = np.asarray(b["thumb"][0].as_py())
-    assert v.shape == (64,) and 0 <= v.min() and v.max() <= 255
+    k = multimodal.THUMB_W * multimodal.THUMB_H
+    assert vec["thumb"].type == pa.list_(pa.float64(), k)
+    v = np.asarray(vec["thumb"][0].as_py())
+    assert v.shape == (k,) and 0 <= v.min() and v.max() <= 255
+    out = multimodal.media_thumbnails(SF).to_pandas()
+    assert set(out.columns) == {"asset_id", "ty", "tx", "val"}
+    per = out.groupby("asset_id").size()
+    assert (per == k).all()
 
 
 def test_media_frame_sample_stride(ray_session):
