@@ -63,12 +63,24 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timings: dict[str, float] = {}
     extras: dict = {}
 
-    def timed(name: str, fn):
+    # Shared-host variance swings single runs by tens of percent
+    # (round-2 BENCH recorded dedup_exact at 4.2s vs 1.5s on a clean
+    # run). Short queries and the headline are timed best-of-N
+    # (min), which is the cheapest stable estimator; the long big-doc
+    # suite stays single-run to bound bench wall-clock.
+    reps_default = int(os.environ.get("BENCH_REPS", "2"))
+
+    def timed(name: str, fn, reps: int | None = None):
         if only and name != only:
             return
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps_default if reps is None else reps):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best = dt
+        timings[name] = round(best, 3)
         return out
 
     def kg_triples():
@@ -104,7 +116,7 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
         extras["nodes_out"] = nodes.count()
 
     timed("kg_triples", kg_triples)
-    timed("kg_build", kg_build)
+    timed("kg_build", kg_build, reps=1)
 
     optional = []
     try:
@@ -171,14 +183,15 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
                                         replicas=doc_replicas)
             extras["docs_big"] = ray.data.read_parquet(big_table).count()
             timed("dedup_exact_big",
-                  lambda: exact_dedup(big_root).count())
+                  lambda: exact_dedup(big_root).count(), reps=1)
             timed("text_clean_big",
-                  lambda: clean_corpus(big_root).count())
+                  lambda: clean_corpus(big_root).count(), reps=1)
             # join-based verification: the web-scale path (no driver
             # holds the corpus; candidates hash-join against documents)
             timed("dedup_minhash_big",
                   lambda: minhash_near_dups(big_root,
-                                            verify="join").count())
+                                            verify="join").count(),
+                  reps=1)
         except ImportError:
             pass
 
@@ -206,7 +219,8 @@ def run_scaling(sf_dir: str) -> dict:
     the sandbox stand-in for N vs 4N nodes (BASELINE.md protocol)."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SF_DIR=sf_dir, BENCH_ONLY="kg_triples")
+                   GRAFT_SF_DIR=sf_dir, BENCH_ONLY="kg_triples",
+                   BENCH_REPS="1")  # min-of-2 FRESH processes instead
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
