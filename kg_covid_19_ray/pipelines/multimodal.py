@@ -402,9 +402,70 @@ def media_near_dups(sf_dir: str) -> ray.data.Dataset:
                 .limit(MEDIA_PAIR_TOPK)
 
 
+def _media_near_dups_sql() -> str:
+    """SQL oracle for media_near_dups, same trick as ``_ann_lsh_sql``:
+    the seeded hyperplanes are embedded as float literals. Pixel stream
+    -> thumbnail cells -> mean-centered vectors -> per-table bucket ids
+    -> any-bucket candidate pairs -> exact-cosine global top-K. The
+    per-bucket partial top-K in the Ray plan is pure pruning: any pair
+    it cuts is dominated by >= MEDIA_PAIR_TOPK distinct candidates in
+    the same total order (cos DESC, a, b), so the global top-K over all
+    candidate pairs is identical."""
+    from kg_covid_19_ray.pipelines.similarity import (LSH_BITS, LSH_TABLES,
+                                                      _lsh_planes)
+    planes = _lsh_planes(THUMB_W * THUMB_H)
+    sig_exprs = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for b in range(LSH_BITS):
+            vec = ", ".join(repr(float(x)) for x in planes[t, b])
+            bits.append(f"(CASE WHEN list_inner_product(cthumb, [{vec}]) > 0"
+                        f" THEN {1 << b} ELSE 0 END)")
+        sig_exprs.append(" + ".join(bits) + f" AS b{t}")
+    sig_cols = ",\n         ".join(sig_exprs)
+    any_bucket = " OR ".join(f"x.b{t} = y.b{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 32 + (doc_id % 8) * 16 AS w, 32 + (doc_id % 5) * 16 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w // {THUMB_W} AS ws, h // {THUMB_H} AS hs,
+         (doc_id * 7 + i * 13) % 256 AS v,
+         i // w AS y, i % w AS x
+  FROM dims, LATERAL (SELECT unnest(range(w * h)) AS i)
+), cells AS (
+  SELECT doc_id AS asset_id,
+         (y // hs) * {THUMB_W} + (x // ws) AS cell,
+         floor((sum(v)::DOUBLE / count(*)) * 1e4 + 0.5) / 1e4 AS val
+  FROM px GROUP BY doc_id, (y // hs) * {THUMB_W} + (x // ws)
+), vecs AS (
+  SELECT asset_id, list(val ORDER BY cell) AS thumb
+  FROM cells GROUP BY asset_id
+), sig AS (
+  SELECT asset_id, thumb,
+         {sig_cols}
+  FROM (SELECT asset_id, thumb,
+               list_transform(thumb,
+                   e -> e - list_aggregate(thumb, 'avg')) AS cthumb
+        FROM vecs) c
+), pairs AS (
+  SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b
+  FROM sig x JOIN sig y
+    ON x.asset_id < y.asset_id AND ({any_bucket})
+)
+SELECT p.asset_a, p.asset_b,
+       round(list_cosine_similarity(a.thumb, b.thumb), 6) AS cos
+FROM pairs p
+JOIN vecs a ON a.asset_id = p.asset_a
+JOIN vecs b ON b.asset_id = p.asset_b
+ORDER BY cos DESC, p.asset_a, p.asset_b
+LIMIT {MEDIA_PAIR_TOPK}
+"""
+
+
 REGISTRY = {
     "media_meta_stats": (media_meta_stats, MEDIA_META_STATS_SQL),
-    "media_near_dups": (media_near_dups, None),  # approximate LSH recall
+    "media_near_dups": (media_near_dups, _media_near_dups_sql()),
     "media_frame_sample": (media_frame_sample, MEDIA_FRAME_SAMPLE_SQL),
     "media_features": (media_features, MEDIA_FEATURES_SQL),
     "media_thumbnails": (media_thumbnails, MEDIA_THUMBNAILS_SQL),
