@@ -163,6 +163,23 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     for name, fn in optional:
         timed(name, fn)
 
+    # the engine's costliest iterative op, on the NOTES.md validation
+    # graph (seeded, cached; generation untimed). Round-2 baseline:
+    # 325.6s at 1M edges / 32 cpus; round-3 contraction rewrite ~10s.
+    cc_edges = int(os.environ.get("GRAFT_CC_EDGES", "1000000"))
+    if cc_edges > 0 and (only is None or only == "cc_components"):
+        try:
+            from kg_covid_19_ray.sources.graphgen import write_edges_parquet
+            from kg_covid_19_ray.stages.cluster import connected_components
+            cc_path = f"/tmp/kg_ray_bench/cc_edges_{cc_edges}.parquet"
+            if not os.path.exists(cc_path):
+                write_edges_parquet(cc_path, cc_edges)
+            timed("cc_components",
+                  lambda: connected_components(
+                      ray.data.read_parquet(cc_path)).count(), reps=1)
+        except ImportError:
+            pass
+
     # dedup/cleaning at scale: expand documents to ~1M rows with
     # controlled duplicate structure (sources/docgen) and run the
     # training-data suite on it — the proof these operators aren't

@@ -24,18 +24,7 @@ import ray
 import ray.data
 
 
-def random_edges(n_edges: int, seed: int = 7):
-    """~n_edges/2 nodes, heavy-tailed degree (a few hubs), many
-    components — the same-as cluster shape."""
-    rng = np.random.RandomState(seed)
-    n_nodes = n_edges // 2
-    a = rng.randint(0, n_nodes, n_edges)
-    # mix of local edges (chain-ish structure) and global shortcuts
-    off = rng.geometric(1 / 8.0, n_edges)
-    b = np.where(rng.rand(n_edges) < 0.8,
-                 np.minimum(a + off, n_nodes - 1),
-                 rng.randint(0, n_nodes, n_edges))
-    return [(f"N:{x:08d}", f"N:{y:08d}") for x, y in zip(a, b)]
+from kg_covid_19_ray.sources.graphgen import random_edges  # noqa: E402
 
 
 def union_find_oracle(edges):
