@@ -647,10 +647,102 @@ def ann_ivf_exact(sf_dir: str) -> ray.data.Dataset:
     return ann_ivf(sf_dir, probes=IVF_CELLS)
 
 
+def ann_ivf_join(sf_dir: str, probes: int = IVF_PROBES) -> ray.data.Dataset:
+    """IVF via an explicit cell SHUFFLE instead of a query broadcast —
+    the scale path when the query set is itself a Dataset too large for
+    ``ray.put`` (deferred round-2 item). Only the IVF_CELLS centroids
+    are broadcast; one streaming pass tags every vector with its
+    assigned cell and additionally expands each query vector to one row
+    per probed cell; a single ``groupby("cell")`` co-locates the two
+    streams, and the per-group kernel is one matmul + per-query partial
+    top-k. Cell assignment (argmax, ties to lowest id), probe ranking
+    (stable argsort), rounding and the final per-query reduce are
+    identical to ``ann_ivf``, so the output matches and it shares
+    ``ANN_IVF_SQL``. Shuffle parallelism is bounded by IVF_CELLS (32 in
+    the fixture; thousands at web scale)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    cent = np.stack([np.asarray(t["embedding"][int(i)].as_py(),
+                                dtype=np.float64)
+                     for i in range(min(IVF_CELLS, t.num_rows))])
+    cent_n = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True),
+                               1e-300)
+    cent_ref = ray.put(cent_n)
+    n_probe = min(probes, cent_n.shape[0])
+
+    def tag_cells(batch: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(cent_ref)  # zero-copy local read after first call
+        mat = _matrix(batch)
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-300)
+        ids = batch["vec_id"].to_numpy()
+        cells = np.argmax(mn @ cn.T, axis=1).astype(np.int64)
+        out = pd.DataFrame({"cell": cells,
+                            "kind": np.ones(len(batch), dtype=np.int8),
+                            "vec_id": ids,
+                            "embedding": list(batch["embedding"])})
+        q_mask = ids < ANN_NUM_QUERIES
+        if q_mask.any():
+            rank = np.argsort(-(mn[q_mask] @ cn.T), axis=1,
+                              kind="stable")[:, :n_probe]
+            nq = int(q_mask.sum())
+            q_emb = [e for e, m in zip(batch["embedding"], q_mask) if m]
+            out = pd.concat([out, pd.DataFrame({
+                "cell": rank.reshape(-1).astype(np.int64),
+                "kind": np.zeros(nq * n_probe, dtype=np.int8),
+                "vec_id": np.repeat(ids[q_mask], n_probe),
+                "embedding": [e for e in q_emb for _ in range(n_probe)],
+            })], ignore_index=True)
+        return out
+
+    _EMPTY = {"q_id": np.int64, "n_id": np.int64, "cos": np.float64}
+
+    def cell_rerank(g: pd.DataFrame) -> pd.DataFrame:
+        q = g[g["kind"] == 0]
+        m = g[g["kind"] == 1]
+        if q.empty or m.empty:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in _EMPTY.items()})
+        qn = _matrix(q)
+        qn /= np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-300)
+        mn = _matrix(m)
+        mn /= np.maximum(np.linalg.norm(mn, axis=1, keepdims=True), 1e-300)
+        cos = _round6(qn @ mn.T)
+        q_ids = q["vec_id"].to_numpy()
+        m_ids = m["vec_id"].to_numpy()
+        out_q, out_n, out_c = [], [], []
+        for row, q_id in enumerate(q_ids):
+            mask = m_ids != q_id
+            c_v, nid = cos[row][mask], m_ids[mask]
+            if len(c_v) == 0:
+                continue
+            k = min(ANN_K, len(c_v))
+            top = np.lexsort((nid, -c_v))[:k]
+            out_q.append(np.full(k, q_id))
+            out_n.append(nid[top])
+            out_c.append(c_v[top])
+        if not out_q:
+            return pd.DataFrame({c: pd.Series([], dtype=d)
+                                 for c, d in _EMPTY.items()})
+        return pd.DataFrame({"q_id": np.concatenate(out_q).astype(np.int64),
+                             "n_id": np.concatenate(out_n).astype(np.int64),
+                             "cos": np.concatenate(out_c)})
+
+    tagged = _read_embeddings(sf_dir).map_batches(
+        tag_cells, batch_format="pandas")
+    partials = tagged.groupby("cell").map_groups(
+        cell_rerank, batch_format="pandas")
+    return partials.groupby("q_id").map_groups(
+        lambda g: _final_topk(g, ANN_K), batch_format="pandas")
+
+
 REGISTRY = {
     "ann_bruteforce": (ann_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_lsh": (ann_lsh, _ann_lsh_sql()),  # planes embedded as literals
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
+    "ann_ivf_join": (ann_ivf_join, ANN_IVF_SQL),  # shuffle path, same result
     "ann_ivf_exact": (ann_ivf_exact, ANN_BRUTEFORCE_SQL),
     "ann_ivf_kmeans": (ann_ivf_kmeans, _ann_ivf_kmeans_sql()),
 

@@ -148,6 +148,20 @@ def test_minhash_join_verification_equivalent(ray_session, planted_dir):
     assert (0, 1) in set(zip(b["doc_a"], b["doc_b"]))
 
 
+def test_ann_ivf_join_equals_broadcast(ray_session):
+    """The cell-shuffle IVF (query set as a Dataset, no broadcast) must
+    produce exactly the broadcast ann_ivf result — same candidates,
+    same rounding, same reduce."""
+    from kg_covid_19_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    key = ["q_id", "n_id"]
+    a = S.ann_ivf(sf).to_pandas().sort_values(key).reset_index(drop=True)
+    b = S.ann_ivf_join(sf).to_pandas().sort_values(key) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 def test_ann_ivf_kmeans_recall(ray_session):
     """The trained-quantizer IVF must recall a healthy fraction of the
     exact brute-force top-k (sf0.001 embeddings), and the exact-probe
