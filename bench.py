@@ -163,6 +163,24 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     for name, fn in optional:
         timed(name, fn)
 
+    # detector at realistic dictionary scale: 10k synthetic surfaces +
+    # the real gazetteer over the same pages. Token-hash path cost is
+    # O(tokens), independent of |gazetteer| — this entry is the
+    # per-round evidence (compare with kg_triples' detect share).
+    def kg_detect_10k():
+        from kg_covid_19_ray.pipelines.flagship import extracted_docs
+        from kg_covid_19_ray.sources.gazetteer import GAZETTEER
+        from kg_covid_19_ray.stages.mentions import MentionDetector
+        entries = [(f"synterm{i:05d}", f"SYN:{i}", "synthetic", "biolink:NamedThing")
+                   for i in range(10_000)] + list(GAZETTEER)
+        docs = extracted_docs(pages_dir).select_columns(["doc_id", "text"])
+        return docs.map_batches(
+            MentionDetector, batch_format="pyarrow", batch_size=2048,
+            concurrency=(2, max(2, num_cpus // 2)), num_cpus=1,
+            fn_constructor_args=(entries,)).count()
+
+    timed("kg_detect_10k", kg_detect_10k, reps=1)
+
     # the engine's costliest iterative op, on the NOTES.md validation
     # graph (seeded, cached; generation untimed). Round-2 baseline:
     # 325.6s at 1M edges / 32 cpus; round-3 contraction rewrite ~10s.
