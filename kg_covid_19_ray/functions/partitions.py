@@ -13,6 +13,43 @@ from __future__ import annotations
 import os
 
 
+def _cluster_cpus() -> int:
+    cpus = 0
+    try:
+        import ray
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    if cpus <= 0:
+        cpus = os.cpu_count() or 8
+    return cpus
+
+
+def derive_join_partitions(*, floor: int = 4, cap: int = 512,
+                           env: str = "KG_RAY_JOIN_PARTITIONS") -> int:
+    """Partition count for a NATIVE hash-shuffle ``Dataset.join``.
+
+    Ray's hash-shuffle operator reserves ~``min(num_partitions,
+    cluster_cpus / 2)`` CPUs of aggregator ACTORS per join operator
+    (hash_shuffle._get_aggregator_num_cpus_per_partition: ``min(1,
+    (CPU/2)/P)`` per partition x ``ceil(P/A)`` partitions per
+    aggregator). Two joins in one plan — the repo's standard
+    candidate-verification pattern joins on doc_a then doc_b — can
+    therefore reserve ALL session CPUs and starve the upstream map
+    tasks that feed them: observed live as a full stall at
+    num_partitions = 2 x cpus on a 32-CPU session. ``cpus // 4`` keeps
+    two concurrent aggregator pools at <= half the CPUs with the other
+    half free for map tasks (round 2's hardcoded 8 on a 32-CPU box was
+    exactly this ratio, and healthy). Aggregators cap partition count
+    per actor internally, so larger tables on big clusters still remap
+    partitions -> aggregators without needing P above this."""
+    v = os.environ.get(env) or os.environ.get("KG_RAY_NUM_PARTITIONS")
+    if v:
+        return max(1, int(v))
+    return min(cap, max(floor, _cluster_cpus() // 4))
+
+
 def derive_num_partitions(*, per_cpu: int = 2, floor: int = 4,
                           cap: int = 512,
                           env: str = "KG_RAY_NUM_PARTITIONS") -> int:
@@ -25,13 +62,4 @@ def derive_num_partitions(*, per_cpu: int = 2, floor: int = 4,
     v = os.environ.get(env)
     if v:
         return max(1, int(v))
-    cpus = 0
-    try:
-        import ray
-        if ray.is_initialized():
-            cpus = int(ray.cluster_resources().get("CPU", 0))
-    except Exception:
-        cpus = 0
-    if cpus <= 0:
-        cpus = os.cpu_count() or 8
-    return min(cap, max(floor, cpus * per_cpu))
+    return min(cap, max(floor, _cluster_cpus() * per_cpu))

@@ -238,10 +238,10 @@ def jaccard_topk_pairs(sf_dir: str) -> ray.data.Dataset:
     cand = distinct(cand, ["doc_a", "doc_b"])
 
     # exact verification via the join path (no corpus broadcast)
-    from kg_covid_19_ray.functions.partitions import derive_num_partitions
+    from kg_covid_19_ray.functions.partitions import derive_join_partitions
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    nparts = derive_num_partitions()
+    nparts = derive_join_partitions()
 
     def prep(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -519,8 +519,8 @@ def minhash_near_dups(sf_dir: str,
             return fn
 
         from kg_covid_19_ray.functions.partitions import \
-            derive_num_partitions
-        nparts = derive_num_partitions()
+            derive_join_partitions
+        nparts = derive_join_partitions()
         cand = cand.join(
             docs.map_batches(prep("doc_a"), batch_format="pandas"),
             join_type="inner", num_partitions=nparts, on=("doc_a",))

@@ -30,7 +30,7 @@ import ray.data
 from ray.data.aggregate import Count
 
 from kg_covid_19_ray.functions.md5hash import md5_key
-from kg_covid_19_ray.functions.partitions import derive_num_partitions
+from kg_covid_19_ray.functions.partitions import derive_join_partitions
 from kg_covid_19_ray.pipelines.flagship import (
     canonical_mentions,
     extracted_docs,
@@ -126,7 +126,7 @@ def holdout_negatives(sf_dir: str) -> ray.data.Dataset:
     cand = subjects.map_batches(expand, batch_format="pandas")
     neg = cand.join(edges.select_columns(["subject", "object"]),
                     join_type="left_anti",
-                    num_partitions=derive_num_partitions(),
+                    num_partitions=derive_join_partitions(),
                     on=("subject", "object"))
     return neg.sort("h").limit(NEG_N).select_columns(["subject", "object"])
 
@@ -157,7 +157,7 @@ def holdout_degrees(sf_dir: str) -> ray.data.Dataset:
         Count(alias_name="subj_degree"))
     obj_deg = edges.groupby("object").aggregate(
         Count(alias_name="obj_degree"))
-    nparts = derive_num_partitions()
+    nparts = derive_join_partitions()
     out = edges.join(sub_deg, join_type="inner", num_partitions=nparts,
                      on=("subject",))
     return out.join(obj_deg, join_type="inner", num_partitions=nparts,
@@ -225,7 +225,7 @@ def holdout_connected(sf_dir: str) -> ray.data.Dataset:
     marked = keyed.join(
         forest.map_batches(mark, batch_format="pyarrow")
               .rename_columns({"a": "lo", "b": "hi"}),
-        join_type="left_outer", num_partitions=derive_num_partitions(),
+        join_type="left_outer", num_partitions=derive_join_partitions(),
         on=("lo", "hi"))
 
     def tag(batch: pa.Table) -> pa.Table:

@@ -27,7 +27,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from kg_covid_19_ray.functions.partitions import derive_num_partitions
+from kg_covid_19_ray.functions.partitions import derive_join_partitions
 
 _Q1_CUTOFF = _dt.datetime(1998, 9, 2)
 
@@ -287,7 +287,7 @@ def nation_year_revenue(sf_dir: str) -> ray.data.Dataset:
         })
 
     orders = orders.map_batches(order_proj, batch_format="pyarrow")
-    joined = line.join(orders, join_type="inner", num_partitions=derive_num_partitions(),
+    joined = line.join(orders, join_type="inner", num_partitions=derive_join_partitions(),
                        on=("l_orderkey",))
 
     cust_t = pq.read_table(f"{sf_dir}/customer.parquet",
@@ -459,7 +459,7 @@ def brand_margin(sf_dir: str) -> ray.data.Dataset:
                          "p_retailprice": batch["p_retailprice"]})
 
     joined = line.join(part.map_batches(part_proj, batch_format="pyarrow"),
-                       join_type="inner", num_partitions=derive_num_partitions(),
+                       join_type="inner", num_partitions=derive_join_partitions(),
                        on=("l_partkey",))
 
     def _fixed4(col) -> pa.Array:

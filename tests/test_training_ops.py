@@ -148,6 +148,25 @@ def test_minhash_join_verification_equivalent(ray_session, planted_dir):
     assert (0, 1) in set(zip(b["doc_a"], b["doc_b"]))
 
 
+def test_join_results_partition_count_invariant(ray_session, monkeypatch):
+    """Join-bearing pipelines must produce identical results at
+    different derived partition counts (round-3 item 5 done-criterion:
+    KG_RAY_NUM_PARTITIONS overrides the scale-derived default)."""
+    from kg_covid_19_ray.pipelines import holdouts
+
+    sf = "/root/testdata/sf0.001"
+    outs = []
+    for n in ("3", "8"):
+        monkeypatch.setenv("KG_RAY_JOIN_PARTITIONS", n)
+        deg = holdouts.holdout_degrees(sf).to_pandas()
+        deg = deg.sort_values(list(deg.columns)).reset_index(drop=True)
+        nd = dedup_ops.minhash_near_dups(sf, verify="join").to_pandas()
+        nd = nd.sort_values(list(nd.columns)).reset_index(drop=True)
+        outs.append((deg, nd))
+    pd.testing.assert_frame_equal(outs[0][0], outs[1][0])
+    pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
+
+
 def test_ann_ivf_join_equals_broadcast(ray_session):
     """The cell-shuffle IVF (query set as a Dataset, no broadcast) must
     produce exactly the broadcast ann_ivf result — same candidates,
