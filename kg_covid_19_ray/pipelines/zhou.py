@@ -128,28 +128,42 @@ def transform(source: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     return nodes, edges
 
 
-def make_fixture_pdf_json(path: str, *, rows_per_page=(3, 2, 2)) -> int:
-    """Deterministic post-tabula fixture mirroring the reference's
-    3-page Suppl-Fig-3 shape: page 0 leads with the header row; every
-    page carries 4-cell data rows. Returns total data rows."""
+def _fixture_rows(rows_per_page) -> tuple[list[list[list[str]]], int]:
+    """3-page Suppl-Fig-3-shaped table: page 0 leads with the header
+    row; every page carries 4-cell data rows."""
     header = ["Host Gene ID", "Host Protein", "Coronavirus", "PubMed ID"]
     coronas = list(CORONA_TAXON)
     pages, k = [], 0
     for p, n_rows in enumerate(rows_per_page):
-        data = []
-        if p == 0:
-            data.append([{"text": h} for h in header])
+        rows = [header] if p == 0 else []
         for _ in range(n_rows):
-            data.append([
-                {"text": str(1000 + k)},
-                {"text": f"PROT{k}"},
-                {"text": coronas[k % len(coronas)]},
-                {"text": str(30000000 + k)},
-            ])
+            rows.append([str(1000 + k), f"PROT{k}",
+                         coronas[k % len(coronas)], str(30000000 + k)])
             k += 1
-        pages.append({"extraction_method": "lattice", "data": data})
+        pages.append(rows)
+    return pages, k
+
+
+def make_fixture_pdf_json(path: str, *, rows_per_page=(3, 2, 2)) -> int:
+    """Deterministic post-tabula JSON fixture (the round-1 payload
+    shape). Returns total data rows."""
+    pages, k = _fixture_rows(rows_per_page)
+    doc = [{"extraction_method": "lattice",
+            "data": [[{"text": c} for c in row] for row in rows]}
+           for rows in pages]
     with open(path, "w") as f:
-        json.dump(pages, f)
+        json.dump(doc, f)
+    return k
+
+
+def make_fixture_pdf(path: str, *, rows_per_page=(3, 2, 2)) -> int:
+    """The SAME table as an actual PDF file (FlateDecode content
+    streams), so the S5 decode seam runs real PDF parsing end-to-end.
+    Returns total data rows."""
+    from kg_covid_19_ray.functions.pdf import encode_table_pdf
+    pages, k = _fixture_rows(rows_per_page)
+    with open(path, "wb") as f:
+        f.write(encode_table_pdf(pages))
     return k
 
 
