@@ -472,6 +472,104 @@ def embedding_pair_topk(sf_dir: str) -> ray.data.Dataset:
                          descending=[True, False, False]).limit(PAIR_TOPK)
 
 
+DEDUP_EMB_THRESHOLD = 0.42  # fixture cos max ~0.51; yields a real graph
+
+
+def dedup_embedding(sf_dir: str,
+                    threshold: float = DEDUP_EMB_THRESHOLD
+                    ) -> ray.data.Dataset:
+    """Semantic (embedding-cosine) near-duplicate CLUSTERING, the
+    SemDeDup-style composition: thresholded exact cosine pairs
+    (broadcast small side, per-batch matmul), connected components
+    over the pair graph (the distributed contraction in
+    ``stages.cluster``), then the min-id representative per cluster.
+    Output: one ``(vec_id, canon_id)`` row per vector — singletons map
+    to themselves; dropping rows with ``vec_id != canon_id`` is the
+    dedup. At web scale the all-pairs stage swaps for the ann_lsh
+    bucket candidates; the component and representative stages are
+    unchanged. Node ids travel through the component stage as
+    zero-padded strings so the lexicographic min equals the numeric
+    min the SQL oracle computes."""
+    from kg_covid_19_ray.functions.partitions import derive_join_partitions
+    from kg_covid_19_ray.stages.cluster import connected_components
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+    all_ids = t["vec_id"].to_numpy()
+    all_mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in t["embedding"].to_pylist()])
+    all_ref = ray.put((all_ids, all_mat))
+
+    class ThresholdPairs:
+        def __init__(self, ref):
+            self.all_ids, mat = ray.get(ref)
+            self.all_n = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _matrix(batch)
+            ids = batch["vec_id"].to_numpy()
+            mn = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+            cos = _round6(mn @ self.all_n.T)
+            bi, ai = np.nonzero(
+                (ids[:, None] < self.all_ids[None, :])
+                & (cos >= threshold))
+            return pd.DataFrame({
+                "a": [f"{v:020d}" for v in ids[bi]],
+                "b": [f"{v:020d}" for v in self.all_ids[ai]]})
+
+    pairs = _read_embeddings(sf_dir).map_batches(
+        ThresholdPairs, batch_format="pandas", concurrency=(1, 8),
+        num_cpus=1, fn_constructor_args=(all_ref,)).materialize()
+    ids = _read_embeddings(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"],
+            "member": [f"{v:020d}" for v in b["vec_id"].to_numpy()]}),
+        batch_format="pandas")
+    if pairs.count() == 0:  # pairs are tiny post-threshold; guard the
+        # empty-side join (identity mapping, no components to join)
+        return ids.map_batches(
+            lambda b: pd.DataFrame({"vec_id": b["vec_id"],
+                                    "canon_id": b["vec_id"]}),
+            batch_format="pandas")
+    comp = connected_components(pairs)
+    joined = ids.join(comp, join_type="left_outer",
+                      num_partitions=derive_join_partitions(),
+                      on=("member",))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        canon = b["canon"].fillna(b["member"]).map(int).astype(np.int64)
+        return pd.DataFrame({"vec_id": b["vec_id"].astype(np.int64),
+                             "canon_id": canon})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def _dedup_embedding_sql(threshold: float = DEDUP_EMB_THRESHOLD) -> str:
+    """Recursive-CTE oracle: reachability closure over the thresholded
+    pair graph, then min over reachable roots — the unique min-label
+    fixpoint, independent of iteration order."""
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6)
+          >= {threshold}
+), edges AS (
+    SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), r(node, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.a, r.root FROM edges e JOIN r ON r.node = e.b
+)
+SELECT node AS vec_id, min(root)::BIGINT AS canon_id
+FROM r GROUP BY node
+"""
+
+
 EMBEDDING_PAIR_TOPK_SQL = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],
@@ -748,4 +846,5 @@ REGISTRY = {
 
     "ann_knn_classify": (knn_classify, KNN_CLASSIFY_SQL),
     "embedding_pair_topk": (embedding_pair_topk, EMBEDDING_PAIR_TOPK_SQL),
+    "dedup_embedding": (dedup_embedding, _dedup_embedding_sql()),
 }

@@ -167,6 +167,25 @@ def test_join_results_partition_count_invariant(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
 
 
+def test_dedup_embedding_cluster_properties(ray_session):
+    """Semantic near-dup clustering: every vector mapped, canon is the
+    min id of its cluster, canon ids are fixpoints, and at the fixture
+    threshold at least one non-trivial cluster exists."""
+    from kg_covid_19_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    out = S.dedup_embedding(sf).to_pandas()
+    assert len(out) == 500 and out["vec_id"].is_unique
+    assert (out["canon_id"] <= out["vec_id"]).all()
+    canon_map = dict(zip(out["vec_id"], out["canon_id"]))
+    # canonical representatives are their own canon (fixpoint)
+    assert all(canon_map[c] == c for c in set(out["canon_id"]))
+    assert (out["vec_id"] != out["canon_id"]).any()  # real dup found
+    # raising the threshold above the max cosine yields pure identity
+    ident = S.dedup_embedding(sf, threshold=0.99).to_pandas()
+    assert (ident["vec_id"] == ident["canon_id"]).all()
+
+
 def test_ann_ivf_join_equals_broadcast(ray_session):
     """The cell-shuffle IVF (query set as a Dataset, no broadcast) must
     produce exactly the broadcast ann_ivf result — same candidates,
