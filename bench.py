@@ -181,6 +181,29 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
 
     timed("kg_detect_10k", kg_detect_10k, reps=1)
 
+    # ANN at 10^6 vectors: planted-cluster embeddings (sources/embedgen,
+    # cached) through the IVF probe path and the cell-shuffle join path.
+    emb_replicas = int(os.environ.get("GRAFT_EMB_REPLICAS", "2000"))
+    if emb_replicas > 0 and (only is None or only.startswith("ann_")):
+        try:
+            from kg_covid_19_ray.sources.embedgen import \
+                write_embeddings_parquet
+            from kg_covid_19_ray.pipelines.similarity import (ann_ivf,
+                                                              ann_ivf_join)
+            tag = os.path.basename(os.path.normpath(sf_dir))
+            emb_root = f"/tmp/kg_ray_bench/emb_{tag}_x{emb_replicas}"
+            if not os.path.isdir(f"{emb_root}/embeddings.parquet"):
+                write_embeddings_parquet(sf_dir, emb_root,
+                                         replicas=emb_replicas)
+            extras["vecs_big"] = ray.data.read_parquet(
+                f"{emb_root}/embeddings.parquet").count()
+            timed("ann_ivf_big", lambda: ann_ivf(emb_root).count(),
+                  reps=1)
+            timed("ann_ivf_join_big",
+                  lambda: ann_ivf_join(emb_root).count(), reps=1)
+        except ImportError:
+            pass
+
     # the engine's costliest iterative op, on the NOTES.md validation
     # graph (seeded, cached; generation untimed). Round-2 baseline:
     # 325.6s at 1M edges / 32 cpus; round-3 contraction rewrite ~10s.

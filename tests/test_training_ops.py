@@ -167,6 +167,35 @@ def test_join_results_partition_count_invariant(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(outs[0][1], outs[1][1])
 
 
+def test_embedgen_planted_structure(ray_session, tmp_path):
+    """Scale-fixture generator: replica 0 is the base table verbatim,
+    noisy replicas stay nearest their own anchor, ids partition by
+    replica, output is deterministic."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from kg_covid_19_ray.sources.embedgen import write_embeddings_parquet
+
+    sf = "/root/testdata/sf0.001"
+    n_out = write_embeddings_parquet(sf, str(tmp_path), replicas=3)
+    t = pq.read_table(f"{tmp_path}/embeddings.parquet").sort_by("vec_id")
+    base = pq.read_table(f"{sf}/embeddings.parquet").sort_by("vec_id")
+    n = base.num_rows
+    assert n_out == t.num_rows == 3 * n
+    m = np.stack(t["embedding"].to_pylist())
+    b = np.stack(base["embedding"].to_pylist()).astype(np.float32)
+    assert np.array_equal(m[:n], b)  # replica 0 verbatim
+    # a noisy copy is far closer to its anchor than to other anchors
+    v = m[n + 7]
+    d = np.linalg.norm(b - v, axis=1)
+    assert d.argmin() == 7
+    # deterministic regeneration
+    write_embeddings_parquet(sf, str(tmp_path / "again"), replicas=3)
+    t2 = pq.read_table(f"{tmp_path}/again/embeddings.parquet") \
+        .sort_by("vec_id")
+    assert np.array_equal(m, np.stack(t2["embedding"].to_pylist()))
+
+
 def test_dedup_embedding_cluster_properties(ray_session):
     """Semantic near-dup clustering: every vector mapped, canon is the
     min id of its cluster, canon ids are fixpoints, and at the fixture
