@@ -529,10 +529,18 @@ def minhash_near_dups(sf_dir: str,
             join_type="inner", num_partitions=nparts, on=("doc_b",))
 
         def verify_joined(batch: pd.DataFrame) -> pd.DataFrame:
+            # memoize shingle sets per distinct text within the batch
+            # (a hot near-dup cluster repeats the same text across many
+            # candidate pairs — same trick as the broadcast Verifier)
+            # fillna BEFORE factorize: null text must not alias to code
+            # -1 -> last unique (matches MinHasher's null handling)
+            codes_a, uniq_a = pd.factorize(batch["text_doc_a"].fillna(""))
+            codes_b, uniq_b = pd.factorize(batch["text_doc_b"].fillna(""))
+            sh_a = [_shingles(t) for t in uniq_a]
+            sh_b = [_shingles(t) for t in uniq_b]
             jac = np.empty(len(batch))
-            for i, (ta, tb) in enumerate(zip(batch["text_doc_a"],
-                                             batch["text_doc_b"])):
-                sa, sb = _shingles(ta), _shingles(tb)
+            for i, (ca, cb) in enumerate(zip(codes_a, codes_b)):
+                sa, sb = sh_a[ca], sh_b[cb]
                 jac[i] = len(sa & sb) / max(len(sa | sb), 1)
             out = batch[["doc_a", "doc_b"]].copy()
             out["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
