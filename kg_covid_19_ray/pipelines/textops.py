@@ -10,6 +10,7 @@ Rounding uses half-away-from-zero to match the DuckDB oracle.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -37,6 +38,23 @@ def _tokens(series: pd.Series) -> pd.Series:
     return series.str.split(" ")
 
 
+# one C-regex scan per doc replaces splitting into Python token lists:
+# leading separator consumed, trailing via lookahead so adjacent
+# stopwords all count ("a a the" -> 3)
+_STOP_RE = ("(?:^| )(?:" + "|".join(re.escape(w) for w in STOPWORDS)
+            + ")(?= |$)")
+
+
+def _token_and_stop_counts(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized split(' ') semantics WITHOUT materializing token
+    lists: n_tokens = spaces + 1 (equals len(string_split(text, ' ')),
+    the SQL oracle's count, including empty tokens), n_stop = stopword
+    TOKEN count via one compiled-regex pass."""
+    n_tokens = (text.str.count(" ") + 1).to_numpy(dtype=np.int64)
+    n_stop = text.str.count(_STOP_RE).to_numpy(dtype=np.int64)
+    return n_tokens, n_stop
+
+
 def text_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-document token count, stopword ratio, average token length,
     and a bounded quality score (length x non-stopword density)."""
@@ -44,13 +62,8 @@ def text_stats(sf_dir: str) -> ray.data.Dataset:
                                columns=["doc_id", "text"])
 
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(batch["text"])
-        n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+        n_tokens, n_stop = _token_and_stop_counts(batch["text"])
         n_chars = batch["text"].str.len().to_numpy(dtype=np.int64)
-        stop = set(STOPWORDS)
-        n_stop = np.fromiter(
-            (sum(1 for t in ts if t in stop) for ts in toks),
-            dtype=np.int64, count=len(toks))
         safe_tokens = np.maximum(n_tokens, 1)
         stop_ratio = n_stop / safe_tokens
         # tokens are single-space-joined: total token chars = len - (n-1)
@@ -225,12 +238,7 @@ def clean_corpus(sf_dir: str) -> ray.data.Dataset:
     lang = LangId()
 
     def gate(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(batch["text"])
-        n_tokens = toks.str.len().to_numpy(dtype=np.int64)
-        stop = set(STOPWORDS)
-        n_stop = np.fromiter(
-            (sum(1 for t in ts if t in stop) for ts in toks),
-            dtype=np.int64, count=len(toks))
+        n_tokens, n_stop = _token_and_stop_counts(batch["text"])
         stop_ratio = n_stop / np.maximum(n_tokens, 1)
         pred = lang(batch)["pred_lang"].to_numpy()
         keep = ((n_tokens >= CLEAN_MIN_TOKENS)
