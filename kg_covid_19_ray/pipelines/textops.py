@@ -109,13 +109,19 @@ class LangId:
 
     def __init__(self):
         self.langs = [lang for lang, _ in LANG_MARKERS]
-        self.marker_sets = [frozenset(ms) for _, ms in LANG_MARKERS]
+        # one compiled boundary-regex per language: counts marker TOKENS
+        # exactly like set membership over split(' ') (prefix
+        # alternatives disambiguated by the lookahead + backtracking),
+        # without materializing token lists
+        self.pats = [re.compile(
+            "(?:^| )(?:" + "|".join(re.escape(m) for m in ms)
+            + ")(?= |$)") for _, ms in LANG_MARKERS]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(batch["text"])
-        counts = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
-        for j, ms in enumerate(self.marker_sets):
-            counts[:, j] = [sum(1 for t in ts if t in ms) for ts in toks]
+        text = batch["text"]
+        counts = np.stack(
+            [text.str.count(p).to_numpy(dtype=np.int64)
+             for p in self.pats], axis=1)
         best = counts.argmax(axis=1)  # first max wins = tuple order
         pred = np.where(counts.max(axis=1) > 0,
                         np.array(self.langs)[best], "und")
