@@ -182,3 +182,17 @@ REGISTRY: dict = {
     ),
     "kg_cooccurrence": (q_kg_cooccurrence, _with(_COOCCUR_SELECT)),
 }
+
+
+def _register_incremental() -> None:
+    """Incremental build shares the from-scratch oracles: equality with
+    ``kg_nodes`` / ``kg_edges`` is the whole point of the op."""
+    from kg_covid_19_ray.pipelines.incremental import (
+        q_kg_incr_edges,
+        q_kg_incr_nodes,
+    )
+    REGISTRY["kg_incr_edges"] = (q_kg_incr_edges, _with(_EDGES_SELECT))
+    REGISTRY["kg_incr_nodes"] = (q_kg_incr_nodes, _with(_NODES_SELECT))
+
+
+_register_incremental()
