@@ -184,6 +184,50 @@ REGISTRY: dict = {
 }
 
 
+def q_kg_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank over the mention-edge graph
+    (stages/pagerank.py): which entities does the crawl concentrate
+    authority on. ``assume_distinct``: mention_edges output is one row
+    per (page, term) by construction (D2)."""
+    from kg_covid_19_ray.stages.pagerank import pagerank_fixed_point
+
+    edges = mention_edges(canonical_mentions(sf_dir))
+    return pagerank_fixed_point(edges, "subject", "object",
+                                iterations=3, assume_distinct=True)
+
+
+def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled exact-integer recurrence — bit-identical to the Ray
+    side because every op is int64 (+, SUM, floor division)."""
+    teleport = (scale * 15) // 100
+    ctes = [
+        "pr_edges AS (SELECT DISTINCT 'WEB:' || CAST(doc_id AS VARCHAR)"
+        " AS src, curie AS dst FROM mentions)",
+        # DISTINCT-over-UNION-ALL, not a bare UNION: inside a WITH
+        # RECURSIVE clause DuckDB treats a top-level UNION CTE body as
+        # recursive-iteration structure and skips the dedup
+        "pr_nodes AS (SELECT DISTINCT id FROM"
+        " (SELECT src AS id FROM pr_edges"
+        "  UNION ALL SELECT dst FROM pr_edges))",
+        "pr_outdeg AS (SELECT src, count(*) AS d FROM pr_edges"
+        " GROUP BY src)",
+        f"pr_r0 AS (SELECT id, CAST({scale} AS BIGINT) AS r FROM pr_nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"pr_s{i} AS (SELECT e.dst AS id,"
+            f" CAST(SUM(r.r // o.d) AS BIGINT) AS s"
+            f" FROM pr_edges e"
+            f" JOIN pr_r{i-1} r ON r.id = e.src"
+            f" JOIN pr_outdeg o ON o.src = e.src GROUP BY e.dst)")
+        ctes.append(
+            f"pr_r{i} AS (SELECT n.id,"
+            f" CAST({teleport} + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)"
+            f" AS r FROM pr_nodes n LEFT JOIN pr_s{i} s ON s.id = n.id)")
+    return (", ".join(ctes)
+            + f" SELECT id, r AS rank_fp FROM pr_r{iterations}")
+
+
 def _register_incremental() -> None:
     """Incremental build shares the from-scratch oracles: equality with
     ``kg_nodes`` / ``kg_edges`` is the whole point of the op."""
@@ -196,3 +240,5 @@ def _register_incremental() -> None:
 
 
 _register_incremental()
+REGISTRY["kg_pagerank"] = (
+    q_kg_pagerank, _with(", " + _pagerank_sql().lstrip()))

@@ -1,0 +1,240 @@
+"""Distributed PageRank in exact int64 fixed-point arithmetic.
+
+Graph-centrality analytics over the constructed KG — the natural next
+aggregate after degree counts (pipelines/kg_queries A2): which entities
+does the mention graph concentrate authority on? The reference has no
+graph-analytic op at all (its closest is the merge-time networkx stats
+dump, which materializes the whole graph in one driver heap); this is
+the partition-parallel construction.
+
+Arithmetic is INTEGER throughout — ranks are int64 micro-units
+(``scale`` per unit), per-edge shares use floor division, and the
+damping step is ``teleport + (85 * in_sum) // 100``. Integer addition
+is associative and commutative EXACTLY, so the result is bit-identical
+under any partitioning, block order, or parallelism — which is what
+makes a value-hash oracle possible for an iterative distributed
+algorithm (DuckDB reproduces the same integers; float PageRank would
+diverge in the last ulp per summation order). Overflow bound:
+``85 * max_indegree * scale`` must stay below 2^63 — at the default
+``scale=10^6`` that allows in-degrees up to ~10^11.
+
+Dangling mass (nodes with no out-edges) is NOT redistributed — the
+classic "leaked mass" variant; ranks are therefore comparable within a
+run, which is all a centrality ranking needs, and both sides of the
+oracle implement the identical recurrence.
+
+Dataflow per iteration (all exchanges are the repo's standard
+hash-bucket tagged merges — ``Dataset.join`` drops schema on empty
+partitions and ``groupby().aggregate`` pays per-group Python at node
+cardinality, see stages/cluster.py):
+
+    edges are bucketed by hash(src) ONCE and pinned with their
+    out-degree attached (the src-side join is paid once, not per
+    iteration);
+    A: ranks route to hash(id) buckets; per bucket each edge emits
+       share = rank[src] // outdeg[src], pre-summed per dst before the
+       next exchange (combiner);
+    B: shares route to hash(dst) buckets against the pinned node
+       universe; new rank = teleport + (85 * sum) // 100 (nodes with
+       no in-edges keep the bare teleport term).
+
+Skew: a hub dst (entity mentioned by millions of pages) is pre-summed
+per source block in exchange A, so exchange B sees at most one row per
+(hub, upstream block) — bounded by block count, not in-degree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from kg_covid_19_ray.functions.partitions import derive_num_partitions
+
+DAMP_NUM = 85
+DAMP_DEN = 100
+
+
+def _bucket_of(values: pd.Series, num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(values, index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _edges_with_outdeg(edges: ray.data.Dataset, src: str, dst: str, *,
+                       num_buckets: int) -> ray.data.Dataset:
+    """-> pinned Dataset(src, dst, d, __bucket=hash(src) % B): each
+    edge carries its source's out-degree and already lives in its
+    src-hash bucket (exchange A reuses the column, so the src side is
+    shuffled once for the whole run)."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"src": batch[src].to_pandas().astype(str),
+                           "dst": batch[dst].to_pandas().astype(str)})
+        # per-block combiner for the degree count
+        cnt = df.groupby("src", sort=False).size().rename("n").reset_index()
+        rows = pa.table({
+            "src": pa.array(df["src"], pa.string()),
+            "dst": pa.array(df["dst"], pa.string()),
+            "n": pa.array(np.zeros(len(df), np.int64)),
+            "kind": pa.array(["e"] * len(df), pa.string()),
+            "__bucket": pa.array(_bucket_of(df["src"], num_buckets)),
+        })
+        degs = pa.table({
+            "src": pa.array(cnt["src"], pa.string()),
+            "dst": pa.array([None] * len(cnt), pa.string()),
+            "n": pa.array(cnt["n"].to_numpy(np.int64)),
+            "kind": pa.array(["d"] * len(cnt), pa.string()),
+            "__bucket": pa.array(_bucket_of(cnt["src"], num_buckets)),
+        })
+        return pa.concat_tables([rows, degs])
+
+    def attach(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        e = df[df["kind"] == "e"]
+        d = df[df["kind"] == "d"].groupby("src", sort=False)["n"].sum()
+        out = e.merge(d.rename("d"), left_on="src", right_index=True,
+                      how="left")
+        return pa.table({
+            "src": pa.array(out["src"], pa.string()),
+            "dst": pa.array(out["dst"], pa.string()),
+            "d": pa.array(out["d"].to_numpy(np.int64)),
+            "__bucket": pa.array(_bucket_of(out["src"], num_buckets)),
+        })
+
+    return edges.map_batches(route, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(attach, batch_format="pyarrow") \
+        .materialize()
+
+
+def _node_universe(edges_b: ray.data.Dataset, *,
+                   num_buckets: int) -> ray.data.Dataset:
+    """-> pinned Dataset(id, __bucket=hash(id) % B): every distinct
+    endpoint, bucketed for exchange B."""
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        ids = pd.concat([batch["src"].to_pandas(),
+                         batch["dst"].to_pandas()]).drop_duplicates()
+        return pa.table({
+            "id": pa.array(ids, pa.string()),
+            "__bucket": pa.array(_bucket_of(ids, num_buckets)),
+        })
+
+    def dedup(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates("id")
+        return pa.table({
+            "id": pa.array(df["id"], pa.string()),
+            "__bucket": pa.array(df["__bucket"].to_numpy(np.int64)),
+        })
+
+    return edges_b.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(dedup, batch_format="pyarrow") \
+        .materialize()
+
+
+def pagerank_fixed_point(
+    edges: ray.data.Dataset,
+    src: str = "subject",
+    dst: str = "object",
+    *,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    num_partitions: int | None = None,
+    assume_distinct: bool = False,
+) -> ray.data.Dataset:
+    """-> Dataset(id:string, rank_fp:int64) after ``iterations`` exact
+    integer PageRank steps from a uniform ``scale`` start.
+
+    ``assume_distinct=True`` skips the input dedup when the caller
+    guarantees one row per (src, dst) — true for ``mention_edges``
+    output; duplicate edge rows would double-count shares."""
+    if num_partitions is None:
+        num_partitions = derive_num_partitions()
+    num_buckets = max(4, num_partitions)
+
+    pairs = edges.select_columns([src, dst])
+    if not assume_distinct:
+        from kg_covid_19_ray.stages.dedup import distinct
+        pairs = distinct(pairs, [src, dst], num_buckets=num_buckets)
+
+    edges_b = _edges_with_outdeg(pairs, src, dst, num_buckets=num_buckets)
+    nodes_b = _node_universe(edges_b, num_buckets=num_buckets)
+    teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "r", pa.array(np.full(batch.num_rows, scale, np.int64)))
+
+    # ranks live in the same (id-hash) buckets as the node universe
+    ranks = nodes_b.map_batches(init_ranks, batch_format="pyarrow") \
+        .materialize()
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["src"],
+            "dst": batch["dst"],
+            "v": batch["d"],
+            "kind": pa.array(["e"] * batch.num_rows, pa.string()),
+            "__bucket": batch["__bucket"],
+        })
+
+    def tag_ranks(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["id"],
+            "dst": pa.array([None] * batch.num_rows, pa.string()),
+            "v": batch["r"],
+            "kind": pa.array(["r"] * batch.num_rows, pa.string()),
+            "__bucket": batch["__bucket"],
+        })
+
+    def shares(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        e = df[df["kind"] == "e"]
+        r = df[df["kind"] == "r"].drop_duplicates("k").set_index("k")["v"]
+        rank = e["k"].map(r).to_numpy(np.int64)
+        share = rank // e["v"].to_numpy(np.int64)
+        out = pd.DataFrame({"dst": e["dst"].to_numpy(), "s": share})
+        # combiner: one row per dst per bucket into exchange B
+        out = out.groupby("dst", sort=False)["s"].sum().reset_index()
+        return pa.table({
+            "k": pa.array(out["dst"], pa.string()),
+            "v": pa.array(out["s"].to_numpy(np.int64)),
+            "kind": pa.array(["c"] * len(out), pa.string()),
+            "__bucket": pa.array(_bucket_of(out["dst"], num_buckets)),
+        })
+
+    def tag_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["id"],
+            "v": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "kind": pa.array(["n"] * batch.num_rows, pa.string()),
+            "__bucket": batch["__bucket"],
+        })
+
+    def damp(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        n = df[df["kind"] == "n"]
+        c = df[df["kind"] == "c"].groupby("k", sort=False)["v"].sum()
+        s = n["k"].map(c).fillna(0).astype(np.int64)
+        r_new = teleport + (DAMP_NUM * s.to_numpy(np.int64)) // DAMP_DEN
+        return pa.table({
+            "id": pa.array(n["k"], pa.string()),
+            "__bucket": pa.array(n["__bucket"].to_numpy(np.int64)),
+            "r": pa.array(r_new),
+        })
+
+    for _ in range(iterations):
+        contribs = edges_b.map_batches(tag_edges, batch_format="pyarrow") \
+            .union(ranks.map_batches(tag_ranks, batch_format="pyarrow")) \
+            .groupby("__bucket") \
+            .map_groups(shares, batch_format="pyarrow")
+        # iterative loop: pin each state (cluster.py lineage note)
+        ranks = contribs.union(
+            nodes_b.map_batches(tag_nodes, batch_format="pyarrow")) \
+            .groupby("__bucket") \
+            .map_groups(damp, batch_format="pyarrow").materialize()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch["id"], "rank_fp": batch["r"]})
+
+    return ranks.map_batches(finalize, batch_format="pyarrow")
