@@ -187,13 +187,12 @@ REGISTRY: dict = {
 def q_kg_pagerank(sf_dir: str):
     """Integer fixed-point PageRank over the mention-edge graph
     (stages/pagerank.py): which entities does the crawl concentrate
-    authority on. ``assume_distinct``: mention_edges output is one row
-    per (page, term) by construction (D2)."""
+    authority on (duplicate edges dedup for free in the setup
+    exchange; mention_edges is already one row per (page, term))."""
     from kg_covid_19_ray.stages.pagerank import pagerank_fixed_point
 
     edges = mention_edges(canonical_mentions(sf_dir))
-    return pagerank_fixed_point(edges, "subject", "object",
-                                iterations=3, assume_distinct=True)
+    return pagerank_fixed_point(edges, "subject", "object", iterations=3)
 
 
 def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000) -> str:

@@ -66,40 +66,30 @@ def _edges_with_outdeg(edges: ray.data.Dataset, src: str, dst: str, *,
     """-> pinned Dataset(src, dst, d, __bucket=hash(src) % B): each
     edge carries its source's out-degree and already lives in its
     src-hash bucket (exchange A reuses the column, so the src side is
-    shuffled once for the whole run)."""
+    shuffled once for the whole run).
+
+    One exchange does everything: because ALL edges of a src land in
+    its bucket, the (src, dst) dedup and the out-degree count are both
+    globally exact computed in-bucket — no separate distinct() pass,
+    no degree-row side channel."""
 
     def route(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"src": batch[src].to_pandas().astype(str),
-                           "dst": batch[dst].to_pandas().astype(str)})
-        # per-block combiner for the degree count
-        cnt = df.groupby("src", sort=False).size().rename("n").reset_index()
-        rows = pa.table({
-            "src": pa.array(df["src"], pa.string()),
-            "dst": pa.array(df["dst"], pa.string()),
-            "n": pa.array(np.zeros(len(df), np.int64)),
-            "kind": pa.array(["e"] * len(df), pa.string()),
-            "__bucket": pa.array(_bucket_of(df["src"], num_buckets)),
+        s = batch[src].to_pandas().astype(str)
+        return pa.table({
+            "src": pa.array(s, pa.string()),
+            "dst": pa.array(batch[dst].to_pandas().astype(str),
+                            pa.string()),
+            "__bucket": pa.array(_bucket_of(s, num_buckets)),
         })
-        degs = pa.table({
-            "src": pa.array(cnt["src"], pa.string()),
-            "dst": pa.array([None] * len(cnt), pa.string()),
-            "n": pa.array(cnt["n"].to_numpy(np.int64)),
-            "kind": pa.array(["d"] * len(cnt), pa.string()),
-            "__bucket": pa.array(_bucket_of(cnt["src"], num_buckets)),
-        })
-        return pa.concat_tables([rows, degs])
 
     def attach(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        e = df[df["kind"] == "e"]
-        d = df[df["kind"] == "d"].groupby("src", sort=False)["n"].sum()
-        out = e.merge(d.rename("d"), left_on="src", right_index=True,
-                      how="left")
+        df = g.to_pandas().drop_duplicates(["src", "dst"])
+        d = df.groupby("src", sort=False)["dst"].transform("size")
         return pa.table({
-            "src": pa.array(out["src"], pa.string()),
-            "dst": pa.array(out["dst"], pa.string()),
-            "d": pa.array(out["d"].to_numpy(np.int64)),
-            "__bucket": pa.array(_bucket_of(out["src"], num_buckets)),
+            "src": pa.array(df["src"], pa.string()),
+            "dst": pa.array(df["dst"], pa.string()),
+            "d": pa.array(d.to_numpy(np.int64)),
+            "__bucket": pa.array(df["__bucket"].to_numpy(np.int64)),
         })
 
     return edges.map_batches(route, batch_format="pyarrow") \
@@ -140,24 +130,19 @@ def pagerank_fixed_point(
     iterations: int = 3,
     scale: int = 1_000_000,
     num_partitions: int | None = None,
-    assume_distinct: bool = False,
 ) -> ray.data.Dataset:
     """-> Dataset(id:string, rank_fp:int64) after ``iterations`` exact
     integer PageRank steps from a uniform ``scale`` start.
 
-    ``assume_distinct=True`` skips the input dedup when the caller
-    guarantees one row per (src, dst) — true for ``mention_edges``
-    output; duplicate edge rows would double-count shares."""
+    Duplicate input edge rows are deduplicated for free inside the
+    src-bucket setup exchange (they would otherwise double-count
+    shares)."""
     if num_partitions is None:
         num_partitions = derive_num_partitions()
     num_buckets = max(4, num_partitions)
 
-    pairs = edges.select_columns([src, dst])
-    if not assume_distinct:
-        from kg_covid_19_ray.stages.dedup import distinct
-        pairs = distinct(pairs, [src, dst], num_buckets=num_buckets)
-
-    edges_b = _edges_with_outdeg(pairs, src, dst, num_buckets=num_buckets)
+    edges_b = _edges_with_outdeg(edges.select_columns([src, dst]),
+                                 src, dst, num_buckets=num_buckets)
     nodes_b = _node_universe(edges_b, num_buckets=num_buckets)
     teleport = (scale * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
 
@@ -224,15 +209,23 @@ def pagerank_fixed_point(
         })
 
     for _ in range(iterations):
+        # pin between the two exchanges: a lazy plan with two chained
+        # all-to-all sorts serializes them (NOTES.md, cluster.py mid-
+        # round materialize) — pinned, A and B each stream at full width
         contribs = edges_b.map_batches(tag_edges, batch_format="pyarrow") \
             .union(ranks.map_batches(tag_ranks, batch_format="pyarrow")) \
             .groupby("__bucket") \
-            .map_groups(shares, batch_format="pyarrow")
-        # iterative loop: pin each state (cluster.py lineage note)
+            .map_groups(shares, batch_format="pyarrow").materialize()
+        # iterative loop: pin each state (cluster.py lineage note).
+        # repartition before the pin: each sort exchange emits as many
+        # blocks as it was fed, so without this the block count grows
+        # by ~2x num_buckets per iteration and exchange cost doubles
+        # each round (measured: 4.8s -> 9.6s -> 19.2s per iteration)
         ranks = contribs.union(
             nodes_b.map_batches(tag_nodes, batch_format="pyarrow")) \
             .groupby("__bucket") \
-            .map_groups(damp, batch_format="pyarrow").materialize()
+            .map_groups(damp, batch_format="pyarrow") \
+            .repartition(num_buckets).materialize()
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({"id": batch["id"], "rank_fp": batch["r"]})

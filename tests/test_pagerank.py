@@ -44,7 +44,7 @@ def _run(edges, **kw) -> dict:
 
 
 def test_matches_serial_recurrence(ray_session):
-    got = _run(EDGES, iterations=3, assume_distinct=True)
+    got = _run(EDGES, iterations=3)
     want = _serial_pagerank(EDGES, 3)
     assert got == want
     # the hub actually accumulates authority
@@ -52,12 +52,12 @@ def test_matches_serial_recurrence(ray_session):
 
 
 def test_bit_identical_across_partitionings(ray_session):
-    a = _run(EDGES, iterations=4, assume_distinct=True, num_partitions=2)
-    b = _run(EDGES, iterations=4, assume_distinct=True, num_partitions=13)
+    a = _run(EDGES, iterations=4, num_partitions=2)
+    b = _run(EDGES, iterations=4, num_partitions=13)
     assert a == b
 
 
-def test_duplicate_edges_are_deduped_by_default(ray_session):
+def test_duplicate_edges_are_deduped(ray_session):
     got = _run(EDGES + EDGES, iterations=2)  # every edge twice
     want = _serial_pagerank(EDGES, 2)
     assert got == want
