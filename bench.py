@@ -208,16 +208,26 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     # graph (seeded, cached; generation untimed). Round-2 baseline:
     # 325.6s at 1M edges / 32 cpus; round-3 contraction rewrite ~10s.
     cc_edges = int(os.environ.get("GRAFT_CC_EDGES", "1000000"))
-    if cc_edges > 0 and (only is None or only == "cc_components"):
+    if cc_edges > 0 and (only is None
+                         or only in ("cc_components", "pagerank")):
         try:
             from kg_covid_19_ray.sources.graphgen import write_edges_parquet
             from kg_covid_19_ray.stages.cluster import connected_components
+            from kg_covid_19_ray.stages.pagerank import pagerank_fixed_point
             cc_path = f"/tmp/kg_ray_bench/cc_edges_{cc_edges}.parquet"
             if not os.path.exists(cc_path):
                 write_edges_parquet(cc_path, cc_edges)
-            timed("cc_components",
-                  lambda: connected_components(
-                      ray.data.read_parquet(cc_path)).count(), reps=1)
+            if only is None or only == "cc_components":
+                timed("cc_components",
+                      lambda: connected_components(
+                          ray.data.read_parquet(cc_path)).count(), reps=1)
+            # the second iterative graph op on the same cached graph:
+            # 3 exact-integer iterations, 2 bucketed exchanges each
+            if only is None or only == "pagerank":
+                timed("pagerank",
+                      lambda: pagerank_fixed_point(
+                          ray.data.read_parquet(cc_path), "a", "b",
+                          iterations=3).count(), reps=1)
         except ImportError:
             pass
 
