@@ -228,6 +228,12 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
                       lambda: pagerank_fixed_point(
                           ray.data.read_parquet(cc_path), "a", "b",
                           iterations=3).count(), reps=1)
+            if only is None or only == "triangles":
+                from kg_covid_19_ray.stages.triangles import count_triangles
+                timed("triangles",
+                      lambda: int(count_triangles(
+                          ray.data.read_parquet(cc_path), "a", "b")
+                          .to_pandas()["n_triangles"][0]), reps=1)
         except ImportError:
             pass
 

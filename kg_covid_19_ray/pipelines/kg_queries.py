@@ -195,6 +195,34 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank_fixed_point(edges, "subject", "object", iterations=3)
 
 
+def q_kg_triangles(sf_dir: str):
+    """Exact triangle count of the term co-occurrence graph
+    (stages/triangles.py, degree-ordered orientation): tightly-knit
+    topic clusters. Input is the already-deduped co-occurrence pair
+    table — at web scale the pair aggregation has done the heavy
+    dedup, so the triangle stage starts from distinct edges."""
+    from kg_covid_19_ray.stages.triangles import count_triangles
+
+    cooc = q_kg_cooccurrence(sf_dir)
+    return count_triangles(cooc, "subject", "object")
+
+
+_TRIANGLES_SELECT = """
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM tri_pairs e1
+JOIN tri_pairs e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+JOIN tri_pairs e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+"""
+
+_TRIANGLES_CTE = """
+tri_pairs AS (
+  SELECT DISTINCT a.curie AS lo, b.curie AS hi
+  FROM (SELECT DISTINCT doc_id, curie FROM mentions) a
+  JOIN (SELECT DISTINCT doc_id, curie FROM mentions) b
+    ON a.doc_id = b.doc_id AND a.curie < b.curie)
+"""
+
+
 def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
     """Unrolled exact-integer recurrence — bit-identical to the Ray
     side because every op is int64 (+, SUM, floor division)."""
@@ -241,3 +269,6 @@ def _register_incremental() -> None:
 _register_incremental()
 REGISTRY["kg_pagerank"] = (
     q_kg_pagerank, _with(", " + _pagerank_sql().lstrip()))
+REGISTRY["kg_triangles"] = (
+    q_kg_triangles,
+    _with(", " + _TRIANGLES_CTE.strip() + " " + _TRIANGLES_SELECT.strip()))
