@@ -202,21 +202,35 @@ def count_triangles(
         .materialize()
 
     def wedges(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        out_v, out_w = [], []
-        for _u, grp in df.groupby("u", sort=False):
-            if len(grp) < 2:
-                continue
-            # canonical closing-edge order = the same (degree, id)
-            # total order the orientation uses
-            grp = grp.sort_values(["dv", "v"], kind="mergesort")
-            names = grp["v"].to_numpy()
-            ia, ib = np.triu_indices(len(names), k=1)
-            out_v.append(names[ia])
-            out_w.append(names[ib])
-        v = np.concatenate(out_v) if out_v else np.array([], object)
-        w = np.concatenate(out_w) if out_w else np.array([], object)
-        key = pd.Series(v.astype(str)) + "\x00" + pd.Series(w.astype(str)) \
+        # fully vectorized variable-size within-group pair generation:
+        # sort by (u, dv, v) — canonical closing-edge order is the same
+        # (degree, id) total order the orientation uses — then for each
+        # row, pair it with every LATER row of its u-run via the
+        # repeat/cumsum index construction. Zero per-group Python (a
+        # `for u, grp in groupby` loop here costs minutes at millions
+        # of sources).
+        df = g.to_pandas().sort_values(["u", "dv", "v"], kind="mergesort")
+        u = df["u"].to_numpy()
+        names = df["v"].to_numpy()
+        n = len(df)
+        if n == 0:
+            v = w = np.array([], object)
+        else:
+            run_start = np.empty(n, np.bool_)
+            run_start[0] = True
+            run_start[1:] = u[1:] != u[:-1]
+            run_ids = np.cumsum(run_start) - 1
+            counts = np.bincount(run_ids)
+            ends = np.cumsum(counts)  # group end offset per run
+            # partners after each row within its run
+            c = ends[run_ids] - np.arange(n) - 1
+            firsts = np.repeat(np.arange(n), c)
+            seg = np.cumsum(c) - c
+            seconds = np.arange(c.sum()) - np.repeat(seg, c) \
+                + np.repeat(np.arange(n) + 1, c)
+            v, w = names[firsts], names[seconds]
+        key = (pd.Series(v.astype(str)) + "\x00"
+               + pd.Series(w.astype(str))) \
             if len(v) else pd.Series([], dtype=object)
         return pa.table({
             "v": pa.array(v, pa.string()), "w": pa.array(w, pa.string()),
