@@ -104,6 +104,23 @@ def run_stage(
         os.unlink(os.path.join(stage_dir, name))
     ds.write_parquet(stage_dir)
 
+    if not any(n.endswith(".parquet") for n in os.listdir(stage_dir)):
+        # Ray writes NO part files for an empty dataset, which would
+        # make this checkpoint (and every future resume of it)
+        # unreadable. Commit one explicit empty part instead — an
+        # empty stage output is a valid, resumable result.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        schema = ds.schema(fetch_if_missing=True)
+        arrow_schema = getattr(schema, "base_schema", schema)
+        if not isinstance(arrow_schema, pa.Schema):
+            raise ValueError(
+                f"stage '{stage}' produced no rows and its schema is "
+                f"unknown; an empty checkpoint needs a schema to be "
+                f"readable on resume")
+        pq.write_table(arrow_schema.empty_table(),
+                       os.path.join(stage_dir, "empty-0.parquet"))
+
     partitions = []
     total_rows = 0
     for name in sorted(os.listdir(stage_dir)):

@@ -93,3 +93,31 @@ def test_fingerprint_sees_nested_changes(tmp_path):
     os.utime(f, (time.time() + 10, time.time() + 10))
     fp2 = fingerprint_for_path(str(root))
     assert fp1 != fp2
+
+
+def test_empty_stage_output_is_resumable(ray_session, tmp_path):
+    # Ray writes no part files for an empty dataset; run_stage must
+    # still commit a readable (schema-bearing) checkpoint
+    import pyarrow as pa
+
+    root = str(tmp_path)
+
+    def empty_factory() -> ray.data.Dataset:
+        return ray.data.from_arrow(pa.table(
+            {"id": pa.array([], pa.int64()),
+             "v": pa.array([], pa.string())}))
+
+    out = cp.run_stage(root, "empty_stage", "fp_e", empty_factory)
+    assert out.count() == 0
+    assert out.schema().names == ["id", "v"]
+    # resume path reads the committed empty part, factory skipped
+    calls: list = []
+
+    def tracking():
+        calls.append(1)
+        return empty_factory()
+
+    again = cp.run_stage(root, "empty_stage", "fp_e", tracking)
+    assert calls == [] and again.count() == 0
+    m = cp.load_manifest(root, "empty_stage", "fp_e")
+    assert m["total_rows"] == 0 and m["num_partitions"] == 1
