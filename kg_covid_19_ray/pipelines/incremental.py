@@ -66,6 +66,27 @@ def default_checkpoint_root(source: str) -> str:
     return os.path.join("/tmp/kg_ray_incr", key)
 
 
+def _code_fingerprint() -> str:
+    """Engine-code component of the shard fingerprint: a change to ANY
+    package source invalidates cached shard artifacts. Without this, a
+    default-root checkpoint written by an older engine build would keep
+    serving stale (and now wrong) results — resume must never outlive
+    the code that produced it."""
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.md5()
+    for dirpath, dirnames, filenames in os.walk(pkg):
+        dirnames.sort()
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        for name in sorted(filenames):
+            if not name.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, name)
+            st = os.stat(p)
+            h.update(f"{os.path.relpath(p, pkg)}:{st.st_mtime:.0f}:"
+                     f"{st.st_size}".encode())
+    return h.hexdigest()[:12]
+
+
 def _shard_docs(docs: ray.data.Dataset, shard: int,
                 modulus: int) -> ray.data.Dataset:
     """Deterministic shard selector over extracted docs. Blocks keep
@@ -126,7 +147,7 @@ def build_shard(source: str, checkpoint_root: str, shard: int,
     FIXED corpus partitioning; a shard's fingerprint never depends on
     which other shards a merge covers."""
     tag = f"shard{shard}of{modulus}"
-    fp = fingerprint_for_path(source, "incr-v1", tag)
+    fp = fingerprint_for_path(source, "incr-v1", tag, _code_fingerprint())
 
     def docs():
         return _shard_docs(
