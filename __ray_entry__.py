@@ -30,7 +30,8 @@ def _registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     reg: dict[str, tuple[Callable[[str], Any], str | None]] = {}
     reg.update(kg_queries.REGISTRY)
     for mod_name in ("relational_queries", "textops", "dedup_ops",
-                     "similarity", "holdouts", "multimodal", "windowed"):
+                     "similarity", "holdouts", "multimodal", "windowed",
+                     "sketches"):
         try:
             import importlib
             mod = importlib.import_module(

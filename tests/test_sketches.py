@@ -1,0 +1,39 @@
+"""KMV distinct-count sketch (pipelines/sketches.py): exact fallback
+below k, estimation accuracy above k, and partition-layout
+determinism (the property the value-hash oracle relies on)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from kg_covid_19_ray.pipelines.sketches import kmv_distinct
+
+
+def _run(values, k, rep=None):
+    ds = ray.data.from_pandas(pd.DataFrame({"c": values}))
+    if rep:
+        ds = ds.repartition(rep)
+    return kmv_distinct(ds, "c", k=k).to_pandas().iloc[0]
+
+
+def test_exact_below_k(ray_session):
+    vals = [f"v{i}" for i in range(40)] * 3  # 40 distinct, duplicated
+    row = _run(vals, k=64)
+    assert row["k_used"] == 40
+    assert row["distinct_estimate"] == 40  # exact fallback
+
+
+def test_estimate_accuracy_and_layout_independence(ray_session):
+    n = 5000
+    vals = [f"item-{i:06d}" for i in range(n)]
+    a = _run(vals, k=256, rep=3)
+    b = _run(vals * 2, k=256, rep=17)  # duplicates must not matter
+    assert dict(a) == dict(b)  # bit-identical across layouts + dups
+    # KMV std error ~ 1/sqrt(k) ≈ 6.25%; allow 4 sigma
+    assert abs(a["distinct_estimate"] - n) / n < 0.25
+
+
+def test_empty_input(ray_session):
+    row = _run([], k=8)
+    assert row["k_used"] == 0 and row["distinct_estimate"] == 0
