@@ -223,6 +223,41 @@ tri_pairs AS (
 """
 
 
+def q_kg_node_triangles(sf_dir: str):
+    """Per-node triangle + degree table over the co-occurrence graph —
+    the exact-integer core of local clustering coefficients (which
+    terms sit inside densely interlinked topic clusters vs on
+    bridges)."""
+    from kg_covid_19_ray.stages.triangles import node_triangle_counts
+
+    cooc = q_kg_cooccurrence(sf_dir)
+    return node_triangle_counts(cooc, "subject", "object")
+
+
+_NODE_TRIANGLES_SELECT = """
+SELECT d.id,
+       CAST(coalesce(t.c, 0) AS BIGINT) AS triangles,
+       CAST(d.n AS BIGINT) AS degree
+FROM (SELECT id, count(*) AS n FROM (
+        SELECT lo AS id FROM tri_pairs
+        UNION ALL SELECT hi FROM tri_pairs) GROUP BY id) d
+LEFT JOIN (
+  SELECT id, count(*) AS c FROM (
+    SELECT e1.lo AS id FROM tri_pairs e1
+      JOIN tri_pairs e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+      JOIN tri_pairs e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    UNION ALL
+    SELECT e1.hi FROM tri_pairs e1
+      JOIN tri_pairs e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+      JOIN tri_pairs e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    UNION ALL
+    SELECT e2.hi FROM tri_pairs e1
+      JOIN tri_pairs e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+      JOIN tri_pairs e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+  ) GROUP BY id) t ON t.id = d.id
+"""
+
+
 def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
     """Unrolled exact-integer recurrence — bit-identical to the Ray
     side because every op is int64 (+, SUM, floor division)."""
@@ -272,3 +307,7 @@ REGISTRY["kg_pagerank"] = (
 REGISTRY["kg_triangles"] = (
     q_kg_triangles,
     _with(", " + _TRIANGLES_CTE.strip() + " " + _TRIANGLES_SELECT.strip()))
+REGISTRY["kg_node_triangles"] = (
+    q_kg_node_triangles,
+    _with(", " + _TRIANGLES_CTE.strip() + " "
+          + _NODE_TRIANGLES_SELECT.strip()))

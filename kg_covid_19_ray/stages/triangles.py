@@ -1,10 +1,10 @@
 """Distributed triangle counting via degree-ordered orientation.
 
-The third graph-analytic over the constructed KG (after degrees and
-PageRank): triangles in the term co-occurrence graph are the
-tightly-knit topic clusters. Exact integer output — trivially
-hash-oracle-able (DuckDB counts the same triangles with a 3-way
-self-join).
+Graph analytics over the constructed KG (after degrees and PageRank):
+global triangle count (``count_triangles``) and per-node triangle +
+degree table (``node_triangle_counts``, the integer core of local
+clustering coefficients — coefficient = 2T / (d(d-1)), left to the
+consumer so the operator output stays exact int64 and hash-oracle-able).
 
 Algorithm (the standard shuffle-bounded shape, cf. Suri & Vassilvitskii
 "Counting Triangles and the Curse of the Last Reducer", WWW'11):
@@ -20,7 +20,9 @@ Algorithm (the standard shuffle-bounded shape, cf. Suri & Vassilvitskii
    the last reducer" fix);
 4. wedges: per source u, every ordered out-neighbour pair (v, w),
    emitted canonically (v before w in the same (degree, id) total
-   order);
+   order), fully vectorized (repeat/cumsum pair construction — a
+   per-source Python groupby loop costs minutes at millions of
+   sources);
 5. one bucketed semi-join of wedges against the oriented edge set:
    a wedge that is itself an edge closes a triangle. Each triangle is
    counted EXACTLY once (u is its minimum corner in the total order,
@@ -28,6 +30,9 @@ Algorithm (the standard shuffle-bounded shape, cf. Suri & Vassilvitskii
 
 All exchanges are the repo's hash-bucket tagged merges (see
 stages/cluster.py for why not Dataset.join / groupby().aggregate).
+Honest single-node note: an in-process columnar engine (DuckDB) wins
+~100x on graphs that fit one machine — dictionary-int hash joins in
+one address space; this shape is for edge tables that don't.
 """
 
 from __future__ import annotations
@@ -79,11 +84,10 @@ def _distinct_undirected(edges: ray.data.Dataset, src: str, dst: str, *,
         .materialize()
 
 
-def _attach_degrees(pairs: ray.data.Dataset, *,
-                    num_buckets: int) -> ray.data.Dataset:
-    """-> Dataset(lo, hi, dlo, dhi): each endpoint annotated with its
-    degree. One bucketed exchange per endpoint side; the degree table
-    itself comes from a bucketed count over the pair endpoints."""
+def _degree_table(pairs: ray.data.Dataset, *,
+                  num_buckets: int) -> ray.data.Dataset:
+    """-> Dataset(id, n, __bucket=hash(id) % B): degree per node, from
+    a bucketed count over the pair endpoints (per-block combiner)."""
 
     def endpoint_counts(batch: pa.Table) -> pa.Table:
         ids = pd.concat([batch["lo"].to_pandas(),
@@ -106,10 +110,15 @@ def _attach_degrees(pairs: ray.data.Dataset, *,
             "__bucket": pa.array(df["__bucket"].to_numpy(np.int64)),
         })
 
-    deg = pairs.map_batches(endpoint_counts, batch_format="pyarrow") \
+    return pairs.map_batches(endpoint_counts, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(sum_counts,
                                         batch_format="pyarrow")
 
+
+def _attach_degrees(pairs: ray.data.Dataset, deg: ray.data.Dataset, *,
+                    num_buckets: int) -> ray.data.Dataset:
+    """-> Dataset(lo, hi, dlo, dhi): each endpoint annotated with its
+    degree (one bucketed merge per endpoint side)."""
     out = _merge_degree(pairs, "lo", "dlo", deg, ["hi"],
                         num_buckets=num_buckets)
     return _merge_degree(out, "hi", "dhi", deg, ["lo", "dlo"],
@@ -165,22 +174,16 @@ def _merge_degree(rows: ray.data.Dataset, key: str, dcol: str,
         merge, batch_format="pyarrow")
 
 
-def count_triangles(
-    edges: ray.data.Dataset,
-    src: str = "subject",
-    dst: str = "object",
-    *,
-    num_partitions: int | None = None,
-) -> ray.data.Dataset:
-    """-> one-row Dataset(n_triangles:int64): exact triangle count of
-    the undirected simple graph spanned by the input edge rows."""
-    if num_partitions is None:
-        num_partitions = derive_num_partitions()
-    num_buckets = max(4, num_partitions)
-
+def _oriented_edges(edges: ray.data.Dataset, src: str, dst: str, *,
+                    num_buckets: int
+                    ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """-> (oriented, deg): oriented Dataset(u, v, du, dv,
+    __bucket=hash(u) % B) pinned for wedge generation, plus the pinned
+    degree table (the node universe)."""
     pairs = _distinct_undirected(edges, src, dst,
                                  num_buckets=num_buckets)
-    with_deg = _attach_degrees(pairs, num_buckets=num_buckets)
+    deg = _degree_table(pairs, num_buckets=num_buckets).materialize()
+    with_deg = _attach_degrees(pairs, deg, num_buckets=num_buckets)
 
     def orient(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -197,70 +200,114 @@ def count_triangles(
             "__bucket": pa.array(_bucket_of(pd.Series(u), num_buckets)),
         })
 
-    # oriented edges, bucketed by source for wedge generation
     oriented = with_deg.map_batches(orient, batch_format="pyarrow") \
         .materialize()
+    return oriented, deg
+
+
+def _closed_wedges(oriented: ray.data.Dataset, *, num_buckets: int,
+                   corners: bool) -> ray.data.Dataset:
+    """Wedge-generate + closing-edge semi-join.
+
+    ``corners=False`` -> partial global counts: rows (n:int64).
+    ``corners=True``  -> per-node partial triangle counts: rows
+    (k:string, c:int64, __bucket=hash(k) % B) — every matched wedge
+    credits its three corners (wedge rows carry the corner u through
+    the exchange for this)."""
 
     def wedges(g: pa.Table) -> pa.Table:
-        # fully vectorized variable-size within-group pair generation:
-        # sort by (u, dv, v) — canonical closing-edge order is the same
-        # (degree, id) total order the orientation uses — then for each
-        # row, pair it with every LATER row of its u-run via the
-        # repeat/cumsum index construction. Zero per-group Python (a
-        # `for u, grp in groupby` loop here costs minutes at millions
-        # of sources).
-        df = g.to_pandas().sort_values(["u", "dv", "v"], kind="mergesort")
-        u = df["u"].to_numpy()
+        # vectorized variable-size within-group pair generation: sort
+        # by (u, dv, v) — canonical closing-edge order is the same
+        # (degree, id) total order the orientation uses — then pair
+        # each row with every LATER row of its u-run (repeat/cumsum)
+        df = g.to_pandas().sort_values(["u", "dv", "v"],
+                                       kind="mergesort")
+        u_arr = df["u"].to_numpy()
         names = df["v"].to_numpy()
         n = len(df)
         if n == 0:
-            v = w = np.array([], object)
+            uu = v = w = np.array([], object)
         else:
             run_start = np.empty(n, np.bool_)
             run_start[0] = True
-            run_start[1:] = u[1:] != u[:-1]
+            run_start[1:] = u_arr[1:] != u_arr[:-1]
             run_ids = np.cumsum(run_start) - 1
             counts = np.bincount(run_ids)
             ends = np.cumsum(counts)  # group end offset per run
-            # partners after each row within its run
-            c = ends[run_ids] - np.arange(n) - 1
+            c = ends[run_ids] - np.arange(n) - 1  # partners after row
             firsts = np.repeat(np.arange(n), c)
             seg = np.cumsum(c) - c
             seconds = np.arange(c.sum()) - np.repeat(seg, c) \
                 + np.repeat(np.arange(n) + 1, c)
-            v, w = names[firsts], names[seconds]
+            uu, v, w = u_arr[firsts], names[firsts], names[seconds]
         key = (pd.Series(v.astype(str)) + "\x00"
                + pd.Series(w.astype(str))) \
             if len(v) else pd.Series([], dtype=object)
-        return pa.table({
+        cols = {}
+        if corners:
+            cols["u"] = pa.array(uu, pa.string())
+        cols.update({
             "v": pa.array(v, pa.string()), "w": pa.array(w, pa.string()),
             "kind": pa.array(["w"] * len(v), pa.string()),
             "__bucket": pa.array(_bucket_of(key, num_buckets)),
         })
+        return pa.table(cols)
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         key = df["u"].astype(str) + "\x00" + df["v"].astype(str)
-        return pa.table({
+        cols = {}
+        if corners:
+            cols["u"] = pa.array([None] * len(df), pa.string())
+        cols.update({
             "v": pa.array(df["u"], pa.string()),
             "w": pa.array(df["v"], pa.string()),
             "kind": pa.array(["e"] * len(df), pa.string()),
             "__bucket": pa.array(_bucket_of(key, num_buckets)),
         })
+        return pa.table(cols)
 
     def close(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
         e = df[df["kind"] == "e"]
         wdf = df[df["kind"] == "w"]
         edge_keys = pd.MultiIndex.from_frame(e[["v", "w"]])
-        wedge_keys = pd.MultiIndex.from_frame(wdf[["v", "w"]])
-        n = int(wedge_keys.isin(edge_keys).sum())
-        return pa.table({"n": pa.array([n], pa.int64())})
+        hit = pd.MultiIndex.from_frame(wdf[["v", "w"]]).isin(edge_keys)
+        if not corners:
+            return pa.table({"n": pa.array([int(hit.sum())], pa.int64())})
+        m = wdf[hit]
+        ids = pd.concat([m["u"], m["v"], m["w"]])
+        cnt = ids.value_counts()  # per-close-bucket combiner
+        return pa.table({
+            "k": pa.array(cnt.index, pa.string()),
+            "c": pa.array(cnt.to_numpy(np.int64)),
+            "__bucket": pa.array(_bucket_of(
+                pd.Series(cnt.index), num_buckets)),
+        })
 
-    counts = oriented.groupby("__bucket") \
+    return oriented.groupby("__bucket") \
         .map_groups(wedges, batch_format="pyarrow") \
         .union(oriented.map_batches(tag_edges, batch_format="pyarrow")) \
         .groupby("__bucket").map_groups(close, batch_format="pyarrow")
+
+
+def count_triangles(
+    edges: ray.data.Dataset,
+    src: str = "subject",
+    dst: str = "object",
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """-> one-row Dataset(n_triangles:int64): exact triangle count of
+    the undirected simple graph spanned by the input edge rows."""
+    if num_partitions is None:
+        num_partitions = derive_num_partitions()
+    num_buckets = max(4, num_partitions)
+
+    oriented, _deg = _oriented_edges(edges, src, dst,
+                                     num_buckets=num_buckets)
+    counts = _closed_wedges(oriented, num_buckets=num_buckets,
+                            corners=False)
 
     # sum EVERY row of every batch: one output block may carry several
     # groups' partial counts (group results coalesce into shared
@@ -271,3 +318,54 @@ def count_triangles(
                 if b.num_rows)
     return ray.data.from_arrow(
         pa.table({"n_triangles": pa.array([total], pa.int64())}))
+
+
+def node_triangle_counts(
+    edges: ray.data.Dataset,
+    src: str = "subject",
+    dst: str = "object",
+    *,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """-> Dataset(id:string, triangles:int64, degree:int64), one row
+    per node of the undirected simple graph: how many triangles the
+    node is a corner of, and its degree. Local clustering coefficient
+    = 2 * triangles / (degree * (degree - 1)) — the division is left
+    to the consumer so the operator output stays exact integers."""
+    if num_partitions is None:
+        num_partitions = derive_num_partitions()
+    num_buckets = max(4, num_partitions)
+
+    oriented, deg = _oriented_edges(edges, src, dst,
+                                    num_buckets=num_buckets)
+    corner_counts = _closed_wedges(oriented, num_buckets=num_buckets,
+                                   corners=True)
+
+    def tag_counts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["k"], "c": batch["c"],
+            "kind": pa.array(["c"] * batch.num_rows, pa.string()),
+            "__bucket": batch["__bucket"],
+        })
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["id"], "c": batch["n"],
+            "kind": pa.array(["d"] * batch.num_rows, pa.string()),
+            "__bucket": batch["__bucket"],
+        })
+
+    def finalize(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        d = df[df["kind"] == "d"]
+        c = df[df["kind"] == "c"].groupby("k", sort=False)["c"].sum()
+        tri = d["k"].map(c).fillna(0).astype(np.int64)
+        return pa.table({
+            "id": pa.array(d["k"], pa.string()),
+            "triangles": pa.array(tri.to_numpy(np.int64)),
+            "degree": pa.array(d["c"].to_numpy(np.int64)),
+        })
+
+    return corner_counts.map_batches(tag_counts, batch_format="pyarrow") \
+        .union(deg.map_batches(tag_deg, batch_format="pyarrow")) \
+        .groupby("__bucket").map_groups(finalize, batch_format="pyarrow")

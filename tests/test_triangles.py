@@ -55,3 +55,29 @@ def test_hub_star_plus_duplicates(ray_session):
     star = [("hub", f"s{i}") for i in range(50)]
     assert _run(star + star + [(b, a) for a, b in star]) == 0
     assert _run(star + [("s0", "s1")]) == 1
+
+
+def test_node_triangle_counts(ray_session):
+    from kg_covid_19_ray.stages.triangles import node_triangle_counts
+    rng = random.Random(23)
+    edges = [(f"n{rng.randint(0, 14)}", f"n{rng.randint(0, 14)}")
+             for _ in range(55)]
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({x for e in es for x in e})
+    deg = {n: 0 for n in nodes}
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    tri = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    ds = ray.data.from_items([{"subject": s, "object": o}
+                              for s, o in edges])
+    df = node_triangle_counts(ds).to_pandas()
+    got = {r.id: (r.triangles, r.degree) for r in df.itertuples()}
+    assert got == {n: (tri[n], deg[n]) for n in nodes}
+    # per-node totals are 3x the global count (each triangle has 3 corners)
+    assert df["triangles"].sum() == 3 * _brute(edges)
