@@ -209,7 +209,8 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     # 325.6s at 1M edges / 32 cpus; round-3 contraction rewrite ~10s.
     cc_edges = int(os.environ.get("GRAFT_CC_EDGES", "1000000"))
     if cc_edges > 0 and (only is None
-                         or only in ("cc_components", "pagerank")):
+                         or only in ("cc_components", "pagerank",
+                                     "triangles")):
         try:
             from kg_covid_19_ray.sources.graphgen import write_edges_parquet
             from kg_covid_19_ray.stages.cluster import connected_components

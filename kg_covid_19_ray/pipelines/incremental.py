@@ -142,30 +142,40 @@ def _term_nodes_keyed(mentions: ray.data.Dataset) -> ray.data.Dataset:
 def build_shard(source: str, checkpoint_root: str, shard: int,
                 modulus: int) -> dict[str, ray.data.Dataset]:
     """Run (or resume) one shard's flagship chain; returns the three
-    checkpoint-backed artifacts. Each artifact is its own ``run_stage``
-    so a crash between artifacts resumes mid-shard. ``modulus`` is the
+    checkpoint-backed merge artifacts. Each stage is its own
+    ``run_stage`` so a crash resumes mid-shard, and the two expensive
+    passes run ONCE: extraction commits a ``docs`` checkpoint, the
+    detector/linker chain commits a ``mentions`` checkpoint, and the
+    three artifacts are cheap derivations of those. ``modulus`` is the
     FIXED corpus partitioning; a shard's fingerprint never depends on
     which other shards a merge covers."""
     tag = f"shard{shard}of{modulus}"
     fp = fingerprint_for_path(source, "incr-v1", tag, _code_fingerprint())
 
-    def docs():
-        return _shard_docs(
+    docs = run_stage(
+        checkpoint_root, f"docs_{tag}", fp,
+        lambda: _shard_docs(
             extracted_docs(source).select_columns(
                 ["doc_id", "title", "text"]),
-            shard, modulus)
+            shard, modulus),
+        inputs=[source])
+    mentions = run_stage(
+        checkpoint_root, f"mentions_{tag}", fp,
+        lambda: canonical_mentions(docs), inputs=[source])
 
+    # a checkpoint-read mention table does NOT carry the detector's
+    # per-page block layout, so edge dedup must take the shuffled
+    # exact path (flagship.mention_edges layout contract)
     edges = run_stage(
         checkpoint_root, f"edges_{tag}", fp,
-        lambda: mention_edges(canonical_mentions(docs())),
+        lambda: mention_edges(mentions, copartitioned=False),
         inputs=[source])
     pubs = run_stage(
         checkpoint_root, f"pub_nodes_{tag}", fp,
-        lambda: _pub_nodes(docs()), inputs=[source])
+        lambda: _pub_nodes(docs), inputs=[source])
     terms = run_stage(
         checkpoint_root, f"term_nodes_keyed_{tag}", fp,
-        lambda: _term_nodes_keyed(canonical_mentions(docs())),
-        inputs=[source])
+        lambda: _term_nodes_keyed(mentions), inputs=[source])
     return {"edges": edges, "pub_nodes": pubs, "term_nodes_keyed": terms}
 
 

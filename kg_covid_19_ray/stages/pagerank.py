@@ -200,8 +200,12 @@ def pagerank_fixed_point(
         df = g.to_pandas()
         n = df[df["kind"] == "n"]
         c = df[df["kind"] == "c"].groupby("k", sort=False)["v"].sum()
-        s = n["k"].map(c).fillna(0).astype(np.int64)
-        r_new = teleport + (DAMP_NUM * s.to_numpy(np.int64)) // DAMP_DEN
+        # reindex with an int fill, NOT map+fillna: fillna promotes the
+        # whole column to float64 whenever any node lacks contributions,
+        # silently rounding sums above 2^53 and breaking the exact-int64
+        # bit-identity the value-hash oracle relies on
+        s = c.reindex(n["k"], fill_value=0).to_numpy(np.int64)
+        r_new = teleport + (DAMP_NUM * s) // DAMP_DEN
         return pa.table({
             "id": pa.array(n["k"], pa.string()),
             "__bucket": pa.array(n["__bucket"].to_numpy(np.int64)),

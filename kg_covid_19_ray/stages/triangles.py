@@ -359,10 +359,13 @@ def node_triangle_counts(
         df = g.to_pandas()
         d = df[df["kind"] == "d"]
         c = df[df["kind"] == "c"].groupby("k", sort=False)["c"].sum()
-        tri = d["k"].map(c).fillna(0).astype(np.int64)
+        # reindex with an int fill (map+fillna would promote the column
+        # to float64 when any node has zero triangles — same exactness
+        # hazard as pagerank.damp)
+        tri = c.reindex(d["k"], fill_value=0).to_numpy(np.int64)
         return pa.table({
             "id": pa.array(d["k"], pa.string()),
-            "triangles": pa.array(tri.to_numpy(np.int64)),
+            "triangles": pa.array(tri),
             "degree": pa.array(d["c"].to_numpy(np.int64)),
         })
 

@@ -19,9 +19,11 @@ INPUT=${1:?pages parquet dir}
 OUTPUT=${2:?output dir}
 CHECKPOINT=${3:-$OUTPUT/checkpoints}
 
+# Submissions BLOCK until each job finishes (no --no-wait): the merge
+# reads the transform outputs, and its --sources glob below expands at
+# submit time — both require stage 1 to be complete first.
 SUBMIT=(ray job submit
-  --working-dir "$(cd "$(dirname "$0")/.." && pwd)"
-  --no-wait)
+  --working-dir "$(cd "$(dirname "$0")/.." && pwd)")
 
 # Stage 1: per-source transforms. Resumable: a resubmitted job skips
 # every stage whose checkpoint manifest matches (state/checkpoint.py).

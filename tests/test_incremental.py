@@ -33,8 +33,9 @@ def test_incremental_matches_full_build(ray_session, tmp_path):
     nodes_f, edges_f = build_kg(SF)
     assert _canon(nodes_i.to_pandas()).equals(_canon(nodes_f.to_pandas()))
     assert _canon(edges_i.to_pandas()).equals(_canon(edges_f.to_pandas()))
-    # 2 shards x 3 artifacts, each committed with a lineage manifest
-    assert len(_manifest_mtimes(root)) == 6
+    # 2 shards x 5 stages (docs, mentions, 3 artifacts), each committed
+    # with a lineage manifest
+    assert len(_manifest_mtimes(root)) == 10
 
 
 def test_resume_recomputes_nothing(ray_session, tmp_path):
@@ -56,14 +57,14 @@ def test_adding_a_shard_reuses_history(ray_session, tmp_path):
     partial_edges = edges_0.count()
     assert nodes_0.count() > 0 and partial_edges > 0
     shard0 = _manifest_mtimes(root)
-    assert len(shard0) == 3
+    assert len(shard0) == 5
 
     # crawl 2 arrives: extend to shards [0, 1] — shard 0 must resume
     nodes_all, edges_all = build_kg_incremental(
         SF, checkpoint_root=root, shard_ids=[0, 1])
     after = _manifest_mtimes(root)
     assert all(after[p] == t for p, t in shard0.items())
-    assert len(after) == 6
+    assert len(after) == 10
 
     nodes_f, edges_f = build_kg(SF)
     assert edges_all.count() > partial_edges
