@@ -195,6 +195,68 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank_fixed_point(edges, "subject", "object", iterations=3)
 
 
+def q_kg_cooccur_stats(sf_dir: str):
+    """Association-measure feature table for co-occurrence edge
+    weighting: (subject, object, n_pair, df_subject, df_object,
+    n_docs). PMI / lift / Jaccard are one division away — left to the
+    consumer so every column stays exact int64 at any corpus size (a
+    pre-multiplied lift would overflow int64 at web scale).
+
+    Dataflow: the pair table (already pre-aggregated) + a term
+    doc-frequency table small enough to broadcast (one row per
+    gazetteer term — the classic small side), + a driver-side scalar
+    count for n_docs."""
+    import numpy as np
+    import pandas as pd
+
+    m = canonical_mentions(sf_dir).select_columns(["doc_id", "curie"])
+    # term doc-frequency: block-local (doc, term) pairs are unique per
+    # block (detector invariant), combiner + tiny groupby
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["doc_id", "curie"]) \
+            .groupby("curie", sort=False).size() \
+            .rename("df").reset_index()
+
+    dfreq = m.map_batches(df_partial, batch_format="pandas",
+                          batch_size=None) \
+        .groupby("curie").aggregate(Sum("df", alias_name="df"))
+    df_map = {r["curie"]: int(r["df"])
+              for r in dfreq.iter_rows()}  # |gazetteer| rows: broadcast
+    n_docs = int(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count())
+
+    pairs = q_kg_cooccurrence(sf_dir)
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "subject": batch["subject"],
+            "object": batch["object"],
+            "n_pair": batch["n_docs"].astype(np.int64),
+            "df_subject": batch["subject"].map(df_map).astype(np.int64),
+            "df_object": batch["object"].map(df_map).astype(np.int64),
+        })
+        out["n_docs"] = np.int64(n_docs)
+        return out
+
+    return pairs.map_batches(attach, batch_format="pandas")
+
+
+_COOCCUR_STATS_SELECT = """
+SELECT p.subject, p.object,
+       p.n_docs AS n_pair,
+       da.df AS df_subject,
+       db.df AS df_object,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+FROM ({COOCCUR}) p
+JOIN (SELECT curie, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM mentions GROUP BY curie) da ON da.curie = p.subject
+JOIN (SELECT curie, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM mentions GROUP BY curie) db ON db.curie = p.object
+"""
+
+
 def q_kg_triangles(sf_dir: str):
     """Exact triangle count of the term co-occurrence graph
     (stages/triangles.py, degree-ordered orientation): tightly-knit
@@ -311,3 +373,6 @@ REGISTRY["kg_node_triangles"] = (
     q_kg_node_triangles,
     _with(", " + _TRIANGLES_CTE.strip() + " "
           + _NODE_TRIANGLES_SELECT.strip()))
+REGISTRY["kg_cooccur_stats"] = (
+    q_kg_cooccur_stats,
+    _with(_COOCCUR_STATS_SELECT.format(COOCCUR=_COOCCUR_SELECT)))
