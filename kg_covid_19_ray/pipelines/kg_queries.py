@@ -195,6 +195,28 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank_fixed_point(edges, "subject", "object", iterations=3)
 
 
+def q_kg_edges_from_warc(sf_dir: str):
+    """The flagship edge table built from WARC crawl archives instead
+    of the Parquet pages table (sources/warc.py): the corpus is
+    materialized once as multi-member-gzip .warc.gz files (the Common
+    Crawl layout), read back through the strict WARC/HTTP parser, and
+    fed to the SAME extract -> detect -> link -> dedup chain — so this
+    query sharing kg_edges' oracle proves the ingestion path is
+    byte-faithful end to end."""
+    import hashlib
+    import os
+
+    from kg_covid_19_ray.sources.warc import read_warc, write_warc_fixture
+    from kg_covid_19_ray.stages.extract import extract_text
+
+    out = os.path.join(
+        "/tmp/kg_ray_warc",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    write_warc_fixture(sf_dir, out)
+    docs = extract_text(read_warc(out))
+    return mention_edges(canonical_mentions(docs))
+
+
 def q_kg_cooccur_stats(sf_dir: str):
     """Association-measure feature table for co-occurrence edge
     weighting: (subject, object, n_pair, df_subject, df_object,
@@ -376,3 +398,5 @@ REGISTRY["kg_node_triangles"] = (
 REGISTRY["kg_cooccur_stats"] = (
     q_kg_cooccur_stats,
     _with(_COOCCUR_STATS_SELECT.format(COOCCUR=_COOCCUR_SELECT)))
+REGISTRY["kg_edges_from_warc"] = (q_kg_edges_from_warc,
+                                  _with(_EDGES_SELECT))

@@ -1,0 +1,185 @@
+"""WARC reader/writer: ingest actual Common-Crawl-style web archives.
+
+The flagship's canonical input is a Parquet pages table, but real crawl
+dumps arrive as WARC (ISO 28500): a stream of length-prefixed records —
+``warcinfo`` preamble, then one ``response`` record per page whose
+payload is the raw HTTP response. Common Crawl ships them as
+multi-member gzip (one member per record) so ranges are seekable;
+``gzip.decompress`` handles concatenated members natively.
+
+Reader shape (Ray-Data-first): ``read_binary_files`` over the archive
+files -> one vectorized parse per file inside ``map_batches`` -> the
+SAME (url, warc_ts, html, lang) schema the Parquet path produces, so
+everything downstream (extract -> detect -> link -> dedup) is shared.
+A file's pages stay in one block, preserving the detector co-partition
+invariant the shuffle-free edge dedup relies on.
+
+Parsing is strict Content-Length walking (never a regex split: payload
+bytes may contain anything, including record separators); ``lang``
+rides the HTTP ``Content-Language`` header; ``WARC-Date`` carries
+microsecond precision so the timestamp round-trips bit-exact against
+the Parquet path (pinned by tests/test_warc.py and the
+``kg_edges_from_warc`` driver query, which shares kg_edges' oracle).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import hashlib
+import io
+import os
+from datetime import datetime
+
+import pyarrow as pa
+import ray.data
+
+_TS_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
+
+
+def _warc_record(rec_type: str, headers: list[tuple[str, str]],
+                 payload: bytes) -> bytes:
+    head = [b"WARC/1.0",
+            b"WARC-Type: " + rec_type.encode()]
+    head += [k.encode() + b": " + v.encode() for k, v in headers]
+    head.append(b"Content-Length: " + str(len(payload)).encode())
+    return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def write_warc(path: str, pages: list[dict], *,
+               gzip_members: bool = True) -> None:
+    """Write one WARC file: a ``warcinfo`` preamble + one ``response``
+    record per page dict (url, warc_ts: datetime, html: bytes,
+    lang: str). ``gzip_members``: each record its own gzip member
+    (the Common Crawl layout)."""
+    out = io.BytesIO()
+
+    def emit(record: bytes) -> None:
+        out.write(gzip.compress(record) if gzip_members else record)
+
+    emit(_warc_record("warcinfo", [
+        ("WARC-Date", datetime(2026, 1, 1).strftime(_TS_FMT)),
+        ("Content-Type", "application/warc-fields"),
+    ], b"software: kg-ray synthetic crawl\r\n"))
+    for p in pages:
+        http = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html\r\n"
+                b"Content-Language: " + str(p["lang"]).encode()
+                + b"\r\n\r\n" + bytes(p["html"]))
+        emit(_warc_record("response", [
+            ("WARC-Target-URI", p["url"]),
+            ("WARC-Date", p["warc_ts"].strftime(_TS_FMT)),
+            ("Content-Type", "application/http;msgtype=response"),
+        ], http))
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """-> [{url, warc_ts: datetime, html: bytes, lang}] for every
+    ``response`` record; other record types (warcinfo, request,
+    metadata) are skipped. Strict Content-Length walk; malformed
+    framing raises ValueError with the byte offset."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)  # multi-member: all members
+    rows: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"not a WARC record at byte {pos}")
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError(f"unterminated WARC header at byte {pos}")
+        headers: dict[str, str] = {}
+        for line in data[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode()] = v.strip().decode()
+        length = int(headers["content-length"])
+        body_start = head_end + 4
+        payload = data[body_start:body_start + length]
+        if len(payload) != length:
+            raise ValueError(f"truncated record at byte {pos}")
+        pos = body_start + length
+        if headers.get("warc-type") != "response":
+            continue
+        http_split = payload.find(b"\r\n\r\n")
+        http_headers: dict[str, str] = {}
+        for line in payload[:http_split].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            http_headers[k.strip().lower().decode()] = v.strip().decode()
+        rows.append({
+            "url": headers["warc-target-uri"],
+            "warc_ts": datetime.strptime(headers["warc-date"], _TS_FMT),
+            "html": payload[http_split + 4:],
+            "lang": http_headers.get("content-language", ""),
+        })
+    return rows
+
+
+def read_warc(paths: str | list[str]) -> ray.data.Dataset:
+    """WARC file(s)/dir -> Dataset(url, warc_ts:timestamp[us],
+    html:binary, lang) — schema-identical to the Parquet pages path.
+    One parse task per file (``read_binary_files``), records emitted
+    as one Arrow block per file. A directory resolves to its
+    ``*.warc[.gz]`` members (markers and sidecars ignored)."""
+    if isinstance(paths, str) and os.path.isdir(paths):
+        paths = sorted(
+            _glob.glob(os.path.join(paths, "*.warc"))
+            + _glob.glob(os.path.join(paths, "*.warc.gz")))
+    ds = ray.data.read_binary_files(paths)
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for blob in batch["bytes"].to_pylist():
+            rows.extend(parse_warc(blob))
+        return pa.table({
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        })
+
+    return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def write_warc_fixture(sf_dir: str, out_dir: str, *,
+                       num_files: int = 8) -> str:
+    """Materialize the sf pages corpus as a directory of .warc.gz
+    files (the crawl-dump stand-in; content keyed to the source table,
+    idempotent via marker). Returns ``out_dir``."""
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    key = hashlib.md5(
+        f"{os.path.abspath(doc_path)}:{st.st_mtime:.0f}:{st.st_size}:"
+        f"{num_files}:warc-v1".encode()).hexdigest()[:12]
+    marker = os.path.join(out_dir, f"_SUCCESS_{key}")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(os.path.join(out_dir, "*")):
+        os.unlink(stale)
+
+    from kg_covid_19_ray.sources.pages import read_pages
+    shards: list[list[dict]] = [[] for _ in range(num_files)]
+    for b in read_pages(sf_dir).iter_batches(batch_format="pyarrow",
+                                             batch_size=None):
+        urls = b["url"].to_pylist()
+        tss = b["warc_ts"].to_pylist()
+        htmls = b["html"].to_pylist()
+        langs = b["lang"].to_pylist()
+        for u, t, h, lg in zip(urls, tss, htmls, langs):
+            doc_id = int(u.rsplit("-", 1)[1])
+            shards[doc_id % num_files].append(
+                {"url": u, "warc_ts": t, "html": h, "lang": lg})
+    for i, pages in enumerate(shards):
+        write_warc(os.path.join(out_dir, f"crawl-{i:05d}.warc.gz"),
+                   pages)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
