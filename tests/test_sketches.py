@@ -37,3 +37,23 @@ def test_estimate_accuracy_and_layout_independence(ray_session):
 def test_empty_input(ray_session):
     row = _run([], k=8)
     assert row["k_used"] == 0 and row["distinct_estimate"] == 0
+
+
+def test_text_repetition_kernel(ray_session, tmp_path):
+    # vectorized distinct-per-row run counting vs the obvious per-row
+    # set() (degenerate cases: all-same tokens, single token, empties)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from kg_covid_19_ray.pipelines.textops import text_repetition
+
+    texts = ["a a a a", "x", "", "b c b c d", "  ", "q w e r t y q"]
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), f"{sf}/documents.parquet")
+    got = text_repetition(sf).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        assert got.loc[i, "n_tokens"] == len(toks)
+        assert got.loc[i, "n_distinct_tokens"] == len(set(toks))
