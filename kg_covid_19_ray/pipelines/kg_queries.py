@@ -342,6 +342,52 @@ LEFT JOIN (
 """
 
 
+KCORE_K = 5
+KCORE_ROUNDS = 3
+
+
+def q_kg_kcore(sf_dir: str):
+    """k-core peeling of the page↔term mention graph (stages/kcore.py):
+    pages citing fewer than k distinct terms peel off, term degrees
+    shrink, repeat — the dense-core graph-cleaning pass. Defined as
+    exactly KCORE_ROUNDS deterministic rounds (pagerank's fixed-
+    iteration trick), so the unrolled SQL oracle matches bit-for-bit
+    whether or not the peel has converged."""
+    from kg_covid_19_ray.stages.kcore import kcore_nodes
+
+    edges = mention_edges(canonical_mentions(sf_dir))
+    return kcore_nodes(edges, "subject", "object",
+                       k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled peel: degree -> alive -> edge filter, ``rounds`` times,
+    then the final-degree >= k node set."""
+    ctes = [
+        "kc_e0 AS (SELECT DISTINCT"
+        " least('WEB:' || CAST(doc_id AS VARCHAR), curie) AS lo,"
+        " greatest('WEB:' || CAST(doc_id AS VARCHAR), curie) AS hi"
+        " FROM mentions)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"kc_d{i} AS (SELECT id, count(*) AS d FROM"
+            f" (SELECT lo AS id FROM kc_e{i}"
+            f"  UNION ALL SELECT hi FROM kc_e{i}) GROUP BY id)")
+        ctes.append(
+            f"kc_a{i} AS (SELECT id FROM kc_d{i} WHERE d >= {k})")
+        ctes.append(
+            f"kc_e{i+1} AS (SELECT e.lo, e.hi FROM kc_e{i} e"
+            f" JOIN kc_a{i} x ON x.id = e.lo"
+            f" JOIN kc_a{i} y ON y.id = e.hi)")
+    ctes.append(
+        f"kc_d{rounds} AS (SELECT id, count(*) AS d FROM"
+        f" (SELECT lo AS id FROM kc_e{rounds}"
+        f"  UNION ALL SELECT hi FROM kc_e{rounds}) GROUP BY id)")
+    return (", ".join(ctes)
+            + f" SELECT id FROM kc_d{rounds} WHERE d >= {k}")
+
+
 def _pagerank_sql(iterations: int = 3, scale: int = 1_000_000) -> str:
     """Unrolled exact-integer recurrence — bit-identical to the Ray
     side because every op is int64 (+, SUM, floor division)."""
@@ -400,3 +446,4 @@ REGISTRY["kg_cooccur_stats"] = (
     _with(_COOCCUR_STATS_SELECT.format(COOCCUR=_COOCCUR_SELECT)))
 REGISTRY["kg_edges_from_warc"] = (q_kg_edges_from_warc,
                                   _with(_EDGES_SELECT))
+REGISTRY["kg_kcore"] = (q_kg_kcore, _with(", " + _kcore_sql()))
