@@ -760,9 +760,72 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
 """
 
+
+
+def minhash_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-level near-duplicate CLUSTERING: the composition that
+    actually dedups a crawl. MinHash-LSH verified pairs (the
+    ``dedup_minhash`` dataflow unchanged) feed distributed connected
+    components (``stages.cluster`` quotient-graph contraction), and
+    every document maps to its cluster's min-id representative —
+    ``doc_id != canon_doc`` rows are the drop set. Same composition
+    shape as ``similarity.dedup_embedding`` (SemDeDup) but over
+    lexical shingles; ids travel the component stage as zero-padded
+    strings so lexicographic min == numeric min."""
+    import pandas as pd
+
+    from kg_covid_19_ray.functions.partitions import derive_join_partitions
+    from kg_covid_19_ray.stages.cluster import connected_components
+
+    pairs = minhash_near_dups(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "a": [f"{v:020d}" for v in b["doc_a"].to_numpy()],
+            "b": [f"{v:020d}" for v in b["doc_b"].to_numpy()]}),
+        batch_format="pandas").materialize()
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id"]).map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "member": [f"{v:020d}" for v in b["doc_id"].to_numpy()]}),
+        batch_format="pandas")
+    if pairs.count() == 0:
+        return ids.map_batches(
+            lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                    "canon_doc": b["doc_id"]}),
+            batch_format="pandas")
+    comp = connected_components(pairs)
+    joined = ids.join(comp, join_type="left_outer",
+                      num_partitions=derive_join_partitions(),
+                      on=("member",))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        canon = b["canon"].fillna(b["member"]).map(int).astype(np.int64)
+        return pd.DataFrame({"doc_id": b["doc_id"].astype(np.int64),
+                             "canon_doc": canon})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+MINHASH_CLUSTERS_SQL = f"""
+WITH RECURSIVE mh AS ({MINHASH_VERIFIED_SQL}),
+mh_edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM mh
+    UNION ALL SELECT doc_b, doc_a FROM mh
+), mh_r(node, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.a, mh_r.root FROM mh_edges e JOIN mh_r ON mh_r.node = e.b
+)
+SELECT node AS doc_id, min(root)::BIGINT AS canon_doc
+FROM mh_r GROUP BY node
+"""
+
+
 REGISTRY = {
     "dedup_exact": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_jaccard_topk": (jaccard_topk_pairs, JACCARD_TOPK_SQL),
     "dedup_minhash": (minhash_near_dups, MINHASH_VERIFIED_SQL),
     "dedup_simhash": (simhash_near_dups, SIMHASH_SQL),
+    "dedup_minhash_clusters": (minhash_clusters, MINHASH_CLUSTERS_SQL),
 }

@@ -113,3 +113,23 @@ def test_mention_edges_safe_path_under_repartition(ray_session, sf_small):
     # the detector-produced layout really is co-partitioned
     from kg_covid_19_ray.stages.dedup import assert_blockwise_unique
     assert_blockwise_unique(mentions, ["doc_id", "curie"])
+
+
+def test_minhash_clusters_properties(ray_session):
+    # every doc appears once; canon <= member; both ends of a verified
+    # near-dup pair share a canon; singletons map to themselves
+    from kg_covid_19_ray.pipelines.dedup_ops import (
+        minhash_clusters, minhash_near_dups)
+
+    sf = "/root/testdata/sf0.001"
+    cl = minhash_clusters(sf).to_pandas()
+    assert cl["doc_id"].is_unique
+    assert (cl["canon_doc"] <= cl["doc_id"]).all()
+    canon = dict(zip(cl["doc_id"], cl["canon_doc"]))
+    pairs = minhash_near_dups(sf).to_pandas()
+    assert len(pairs) > 0
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert canon[a] == canon[b]
+    in_pairs = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    singles = cl[~cl["doc_id"].isin(in_pairs)]
+    assert (singles["canon_doc"] == singles["doc_id"]).all()
