@@ -24,14 +24,17 @@ def entry() -> Any:
     return edges
 
 
+PIPELINE_MODULES = ("relational_queries", "textops", "dedup_ops",
+                    "similarity", "holdouts", "multimodal", "windowed",
+                    "sketches")
+
+
 def _registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     from kg_covid_19_ray.pipelines import kg_queries
 
     reg: dict[str, tuple[Callable[[str], Any], str | None]] = {}
     reg.update(kg_queries.REGISTRY)
-    for mod_name in ("relational_queries", "textops", "dedup_ops",
-                     "similarity", "holdouts", "multimodal", "windowed",
-                     "sketches"):
+    for mod_name in PIPELINE_MODULES:
         try:
             import importlib
             mod = importlib.import_module(

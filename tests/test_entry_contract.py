@@ -80,8 +80,7 @@ def test_registry_names_unique_across_modules():
     seen: dict[str, str] = {}
     from kg_covid_19_ray.pipelines import kg_queries
     mods = {"kg_queries": kg_queries.REGISTRY}
-    for mod_name in ("relational_queries", "textops", "dedup_ops",
-                     "similarity", "holdouts", "multimodal", "windowed"):
+    for mod_name in e.PIPELINE_MODULES:
         mods[mod_name] = importlib.import_module(
             f"kg_covid_19_ray.pipelines.{mod_name}").REGISTRY
     for mod_name, reg in mods.items():
