@@ -774,8 +774,7 @@ def minhash_clusters(sf_dir: str) -> ray.data.Dataset:
     strings so lexicographic min == numeric min."""
     import pandas as pd
 
-    from kg_covid_19_ray.functions.partitions import derive_join_partitions
-    from kg_covid_19_ray.stages.cluster import connected_components
+    from kg_covid_19_ray.stages.cluster import canonicalize_ids
 
     pairs = minhash_near_dups(sf_dir).map_batches(
         lambda b: pd.DataFrame({
@@ -788,23 +787,8 @@ def minhash_clusters(sf_dir: str) -> ray.data.Dataset:
             "doc_id": b["doc_id"],
             "member": [f"{v:020d}" for v in b["doc_id"].to_numpy()]}),
         batch_format="pandas")
-    if pairs.count() == 0:
-        return ids.map_batches(
-            lambda b: pd.DataFrame({"doc_id": b["doc_id"],
-                                    "canon_doc": b["doc_id"]}),
-            batch_format="pandas")
-    comp = connected_components(pairs)
-    joined = ids.join(comp, join_type="left_outer",
-                      num_partitions=derive_join_partitions(),
-                      on=("member",))
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        canon = b["canon"].fillna(b["member"]).map(int).astype(np.int64)
-        return pd.DataFrame({"doc_id": b["doc_id"].astype(np.int64),
-                             "canon_doc": canon})
-
-    return joined.map_batches(finish, batch_format="pandas")
+    return canonicalize_ids(pairs, ids, id_col="doc_id",
+                            out_col="canon_doc")
 
 
 MINHASH_CLUSTERS_SQL = f"""

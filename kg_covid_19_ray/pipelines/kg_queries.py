@@ -76,19 +76,23 @@ COOCCUR_PREDICATE = "biolink:correlated_with"  # scibite_cord.py:327-340
 
 def q_kg_cooccurrence(sf_dir: str):
     """Term-term co-occurrence edges (M6 pairwise exploder + D2 pair
-    dedup, scibite_cord.py:327-340 / intact.py:175-230 semantics): one
-    ``correlated_with`` edge per unordered pair of canonical terms
-    co-mentioned in a document, weighted by document count.
+    dedup, scibite_cord.py:327-340 / intact.py:175-230 semantics)."""
+    return _cooccur_counts(
+        canonical_mentions(sf_dir).select_columns(["doc_id", "curie"]))
+
+
+def _cooccur_counts(m: ray.data.Dataset):
+    """One ``correlated_with`` edge per unordered pair of canonical
+    terms co-mentioned in a document, weighted by document count.
 
     Pairwise explosion is block-local (a page's mentions live in one
-    block — same invariant as mention_edges); pair counts are
+    block — same invariant as mention_edges, preserved by
+    ``materialize()`` for callers that pin ``m``); pair counts are
     pre-aggregated per batch (combiner) so the shuffle moves one row
     per distinct pair per block."""
     import numpy as np
     import pandas as pd
     from ray.data.aggregate import Sum
-
-    m = canonical_mentions(sf_dir).select_columns(["doc_id", "curie"])
 
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
@@ -249,7 +253,7 @@ def q_kg_cooccur_stats(sf_dir: str):
     n_docs = int(ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]).count())
 
-    pairs = q_kg_cooccurrence(sf_dir)
+    pairs = _cooccur_counts(m)
 
     def attach(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({

@@ -490,8 +490,7 @@ def dedup_embedding(sf_dir: str,
     unchanged. Node ids travel through the component stage as
     zero-padded strings so the lexicographic min equals the numeric
     min the SQL oracle computes."""
-    from kg_covid_19_ray.functions.partitions import derive_join_partitions
-    from kg_covid_19_ray.stages.cluster import connected_components
+    from kg_covid_19_ray.stages.cluster import canonicalize_ids
 
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -528,23 +527,8 @@ def dedup_embedding(sf_dir: str,
             "vec_id": b["vec_id"],
             "member": [f"{v:020d}" for v in b["vec_id"].to_numpy()]}),
         batch_format="pandas")
-    if pairs.count() == 0:  # pairs are tiny post-threshold; guard the
-        # empty-side join (identity mapping, no components to join)
-        return ids.map_batches(
-            lambda b: pd.DataFrame({"vec_id": b["vec_id"],
-                                    "canon_id": b["vec_id"]}),
-            batch_format="pandas")
-    comp = connected_components(pairs)
-    joined = ids.join(comp, join_type="left_outer",
-                      num_partitions=derive_join_partitions(),
-                      on=("member",))
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        canon = b["canon"].fillna(b["member"]).map(int).astype(np.int64)
-        return pd.DataFrame({"vec_id": b["vec_id"].astype(np.int64),
-                             "canon_id": canon})
-
-    return joined.map_batches(finish, batch_format="pandas")
+    return canonicalize_ids(pairs, ids, id_col="vec_id",
+                            out_col="canon_id")
 
 
 def _dedup_embedding_sql(threshold: float = DEDUP_EMB_THRESHOLD) -> str:

@@ -108,17 +108,32 @@ def parse_warc(data: bytes) -> list[dict]:
         if headers.get("warc-type") != "response":
             continue
         http_split = payload.find(b"\r\n\r\n")
+        if http_split < 0:
+            raise ValueError(
+                f"response record at byte {body_start} has no HTTP "
+                f"header terminator")
         http_headers: dict[str, str] = {}
         for line in payload[:http_split].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             http_headers[k.strip().lower().decode()] = v.strip().decode()
         rows.append({
             "url": headers["warc-target-uri"],
-            "warc_ts": datetime.strptime(headers["warc-date"], _TS_FMT),
+            "warc_ts": _parse_warc_date(headers["warc-date"]),
             "html": payload[http_split + 4:],
             "lang": http_headers.get("content-language", ""),
         })
     return rows
+
+
+def _parse_warc_date(value: str) -> datetime:
+    """WARC-Date with or without fractional seconds: this module's
+    writer emits microseconds (for bit-exact round trips against the
+    Parquet pages path), but real Common Crawl archives carry the
+    WARC-1.0 second-precision form ``YYYY-MM-DDTHH:MM:SSZ``."""
+    try:
+        return datetime.strptime(value, _TS_FMT)
+    except ValueError:
+        return datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ")
 
 
 def read_warc(paths: str | list[str]) -> ray.data.Dataset:

@@ -543,3 +543,39 @@ def spanning_forest(edges: ray.data.Dataset,
         return pa.table({"a": batch["oa"], "b": batch["ob"]})
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def canonicalize_ids(pairs: ray.data.Dataset, ids: ray.data.Dataset, *,
+                     id_col: str, out_col: str) -> ray.data.Dataset:
+    """Shared tail of every near-duplicate CLUSTERING op (SemDeDup-style
+    embedding dedup, MinHash lexical dedup): same-cluster ``pairs``
+    (a, b) of zero-padded id strings -> connected components -> every
+    id mapped to its cluster's min member, singletons to themselves.
+
+    ``ids``: one row per universe element with ``id_col`` (int64) and
+    ``member`` (the zero-padded string form — padding makes the
+    component stage's lexicographic min equal the numeric min the SQL
+    oracles compute). Returns (id_col, out_col) int64 rows; dropping
+    ``id_col != out_col`` rows is the dedup."""
+    from kg_covid_19_ray.functions.partitions import derive_join_partitions
+
+    if pairs.count() == 0:
+        # no clusters: identity map (and no empty-side join, which
+        # would lose the schema)
+        def ident(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: b[id_col],
+                                 out_col: b[id_col]})
+
+        return ids.map_batches(ident, batch_format="pandas")
+
+    comp = connected_components(pairs)
+    joined = ids.join(comp, join_type="left_outer",
+                      num_partitions=derive_join_partitions(),
+                      on=("member",))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        canon = b["canon"].fillna(b["member"]).map(int).astype(np.int64)
+        return pd.DataFrame({id_col: b[id_col].astype(np.int64),
+                             out_col: canon})
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -69,3 +69,23 @@ def test_warc_path_matches_parquet_path(ray_session, tmp_path):
     g, w = canon(got), canon(want)
     assert g["html"].map(bytes).equals(w["html"].map(bytes))
     assert g.drop(columns="html").equals(w.drop(columns="html"))
+
+
+def test_second_precision_dates_and_missing_http_terminator():
+    # real Common Crawl WARCs carry second-precision WARC-Date
+    rec = W._warc_record("response", [
+        ("WARC-Target-URI", "https://cc.example/doc-1"),
+        ("WARC-Date", "2017-10-24T00:03:29Z"),
+    ], b"HTTP/1.1 200 OK\r\nContent-Language: en\r\n\r\n<html/>")
+    rows = W.parse_warc(rec)
+    assert rows[0]["warc_ts"] == datetime(2017, 10, 24, 0, 3, 29)
+    assert rows[0]["html"] == b"<html/>"
+
+    # a response payload without an HTTP header terminator must raise,
+    # not emit garbage html
+    bad = W._warc_record("response", [
+        ("WARC-Target-URI", "https://cc.example/doc-2"),
+        ("WARC-Date", "2017-10-24T00:03:29Z"),
+    ], b"HTTP/1.1 200 OK")
+    with pytest.raises(ValueError, match="no HTTP header terminator"):
+        W.parse_warc(bad)
