@@ -243,6 +243,64 @@ def holdout_connected(sf_dir: str) -> ray.data.Dataset:
     return marked.map_batches(tag, batch_format="pyarrow")
 
 
+
+
+SAMPLE_PER_SOURCE = 10
+
+
+def sample_stratified(sf_dir: str,
+                      per_source: int = SAMPLE_PER_SOURCE
+                      ) -> ray.data.Dataset:
+    """Deterministic stratified corpus sample: the ``per_source``
+    documents with the smallest seeded hash per source — the balanced
+    eval/training subset a curation pipeline draws without a global
+    sort or RNG state. Hash = the oracle-pinned md5 kernel
+    (functions/md5hash, C-level, no per-row Python); per-block
+    combiner keeps at most ``per_source`` rows per source before the
+    source-bucket reduce, so the exchange moves
+    O(sources x blocks x K), never the corpus."""
+    import pandas as pd
+
+    from kg_covid_19_ray.functions.md5hash import md5_key
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["source", "key", "doc_id"],
+                              kind="mergesort") \
+            .groupby("source", sort=False).head(per_source)
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        key = md5_key(batch["source"],
+                      batch["doc_id"].astype(str)).to_pandas()
+        df = pd.DataFrame({"doc_id": batch["doc_id"],
+                           "source": batch["source"], "key": key})
+        out = topk(df)
+        h = pd.util.hash_pandas_object(out["source"], index=False)
+        out = out.assign(__bucket=(h % np.uint64(64)).astype(np.int64))
+        return out
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return topk(g)[["source", "doc_id"]]
+
+    return ds.map_batches(combine, batch_format="pandas") \
+        .groupby("__bucket") \
+        .map_groups(reduce_bucket, batch_format="pandas")
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT source, doc_id FROM (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rn
+    FROM documents)
+WHERE rn <= {SAMPLE_PER_SOURCE}
+"""
+
+
 REGISTRY = {
     "holdout_split": (holdout_split, HOLDOUT_SPLIT_SQL),
     "holdout_negatives": (holdout_negatives, HOLDOUT_NEGATIVES_SQL),
@@ -250,4 +308,5 @@ REGISTRY = {
     "holdout_pair_uniques": (holdout_pair_uniques, HOLDOUT_PAIR_UNIQUES_SQL),
     # iterative (spanning forest): rows-only driver check
     "holdout_connected": (holdout_connected, None),
+    "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
 }

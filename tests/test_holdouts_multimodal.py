@@ -211,3 +211,24 @@ def test_spanning_forest_boruvka_path(ray_session):
     # every forest edge is an input edge (originals, not supernode ids)
     eset = set(edges) | {(b, a) for a, b in edges}
     assert all(t in eset for t in zip(forest["a"], forest["b"]))
+
+
+def test_sample_stratified(ray_session):
+    import pandas as pd
+    from kg_covid_19_ray.pipelines.holdouts import (
+        SAMPLE_PER_SOURCE, sample_stratified)
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "source"])
+    out = sample_stratified(sf).to_pandas()
+    # per-source counts == min(K, group size); sampled ids exist
+    want = docs.groupby("source").size().clip(upper=SAMPLE_PER_SOURCE)
+    got = out.groupby("source").size()
+    assert got.sort_index().equals(want.sort_index())
+    assert out["doc_id"].isin(docs["doc_id"]).all()
+    # deterministic under a different block layout
+    out2 = sample_stratified(sf).to_pandas()
+    key = lambda df: df.sort_values(["source", "doc_id"]) \
+        .reset_index(drop=True)
+    assert key(out).equals(key(out2))
