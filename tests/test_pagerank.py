@@ -61,3 +61,21 @@ def test_duplicate_edges_are_deduped(ray_session):
     got = _run(EDGES + EDGES, iterations=2)  # every edge twice
     want = _serial_pagerank(EDGES, 2)
     assert got == want
+
+
+def test_empty_graphs_are_graceful(ray_session):
+    # all four graph analytics return well-formed empty/zero results
+    # on an empty edge table rather than crashing on schema-less blocks
+    import pandas as pd
+    from kg_covid_19_ray.stages.kcore import kcore_nodes
+    from kg_covid_19_ray.stages.triangles import (
+        count_triangles, node_triangle_counts)
+
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"subject": pd.Series([], dtype=object),
+         "object": pd.Series([], dtype=object)}))
+    assert pagerank_fixed_point(empty).count() == 0
+    t = count_triangles(empty).to_pandas()
+    assert t["n_triangles"].tolist() == [0]
+    assert node_triangle_counts(empty).count() == 0
+    assert kcore_nodes(empty, k=2, rounds=2).count() == 0
