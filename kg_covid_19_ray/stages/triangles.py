@@ -50,6 +50,15 @@ def _bucket_of(values: pd.Series, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _bucket_of_pairs(v, w, num_buckets: int) -> np.ndarray:
+    """Route a (v, w) pair stream without materializing concat-string
+    keys (routing needs only consistency — the closing comparison
+    stays exact on the actual values)."""
+    h = pd.util.hash_pandas_object(
+        pd.DataFrame({"v": v, "w": w}), index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
 def _distinct_undirected(edges: ray.data.Dataset, src: str, dst: str, *,
                          num_buckets: int) -> ray.data.Dataset:
     """-> pinned Dataset(lo, hi, __bucket=hash(lo,hi) % B), one row per
@@ -240,22 +249,19 @@ def _closed_wedges(oriented: ray.data.Dataset, *, num_buckets: int,
             seconds = np.arange(c.sum()) - np.repeat(seg, c) \
                 + np.repeat(np.arange(n) + 1, c)
             uu, v, w = u_arr[firsts], names[firsts], names[seconds]
-        key = (pd.Series(v.astype(str)) + "\x00"
-               + pd.Series(w.astype(str))) \
-            if len(v) else pd.Series([], dtype=object)
         cols = {}
         if corners:
             cols["u"] = pa.array(uu, pa.string())
         cols.update({
             "v": pa.array(v, pa.string()), "w": pa.array(w, pa.string()),
             "kind": pa.array(["w"] * len(v), pa.string()),
-            "__bucket": pa.array(_bucket_of(key, num_buckets)),
+            "__bucket": pa.array(
+                _bucket_of_pairs(v, w, num_buckets)),
         })
         return pa.table(cols)
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        key = df["u"].astype(str) + "\x00" + df["v"].astype(str)
         cols = {}
         if corners:
             cols["u"] = pa.array([None] * len(df), pa.string())
@@ -263,7 +269,9 @@ def _closed_wedges(oriented: ray.data.Dataset, *, num_buckets: int,
             "v": pa.array(df["u"], pa.string()),
             "w": pa.array(df["v"], pa.string()),
             "kind": pa.array(["e"] * len(df), pa.string()),
-            "__bucket": pa.array(_bucket_of(key, num_buckets)),
+            "__bucket": pa.array(
+                _bucket_of_pairs(df["u"].to_numpy(),
+                                 df["v"].to_numpy(), num_buckets)),
         })
         return pa.table(cols)
 
