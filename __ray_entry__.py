@@ -28,6 +28,22 @@ PIPELINE_MODULES = ("relational_queries", "textops", "dedup_ops",
                     "similarity", "holdouts", "multimodal", "windowed",
                     "sketches")
 
+# Registry order = driver verification order. Entries never yet (or not
+# last round) driver-verified run FIRST so a time-budgeted correctness
+# sweep always covers the newest/least-proven queries before the
+# long-green ones (round-3 VERDICT item 1).
+VERIFY_FIRST = (
+    # new/changed in round 4
+    "holdout_connected", "dedup_embedding_lsh", "kg_remapped_edges",
+    "ann_ivf", "ann_ivf_kmeans", "kg_cooccurrence", "kg_cooccur_stats",
+    "kg_triangles", "kg_node_triangles", "kg_incr_edges", "kg_incr_nodes",
+    # no CORRECTNESS_r03 row (media real-decode, windowed, sketch)
+    "media_features", "media_frame_sample", "media_near_dups",
+    "media_thumbnails", "sketch_distinct_texts", "rel_sessions",
+    "rel_sliding_count", "rel_asof_error_click", "rel_range_join",
+    "rel_top_orders_per_cust", "rel_props_avg",
+)
+
 
 def _registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
     from kg_covid_19_ray.pipelines import kg_queries
@@ -42,7 +58,14 @@ def _registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             reg.update(mod.REGISTRY)
         except ModuleNotFoundError:
             continue
-    return reg
+    ordered: dict[str, tuple[Callable[[str], Any], str | None]] = {}
+    for name in VERIFY_FIRST:
+        if name in reg:
+            ordered[name] = reg[name]
+    for name, val in reg.items():
+        if name not in ordered:
+            ordered[name] = val
+    return ordered
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

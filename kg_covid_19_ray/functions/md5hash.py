@@ -43,10 +43,18 @@ def md5_key(sub, obj) -> pa.Array:
     over a zero-copy Arrow table."""
     t = pa.table({"s": _as_string_array(sub), "o": _as_string_array(obj)})
     try:
-        con = _connection()
-        con.register("__md5_in", t)
-        out = con.execute(
-            "SELECT md5(s || '|' || o) AS h FROM __md5_in").arrow()
+        # Per-call cursor off the cached connection: registrations are
+        # cursor-local, so concurrent batches in one worker process
+        # (threaded actors / future Ray execution changes) can never
+        # pair one call's input with another's output on a shared
+        # named view (round-3 ADVICE).
+        cur = _connection().cursor()
+        try:
+            cur.register("__md5_in", t)
+            out = cur.execute(
+                "SELECT md5(s || '|' || o) AS h FROM __md5_in").arrow()
+        finally:
+            cur.close()
         h = out["h"]
         return h.combine_chunks() if isinstance(h, pa.ChunkedArray) else h
     except ImportError:  # no duckdb on this worker: per-row fallback

@@ -268,8 +268,12 @@ def jaccard_topk_pairs(sf_dir: str) -> ray.data.Dataset:
             return s
 
         jac = np.empty(len(batch))
-        for i, (ta, tb) in enumerate(zip(batch["text_doc_a"],
-                                         batch["text_doc_b"])):
+        # null texts tokenize as empty sets (matches the prefix
+        # stage's fillna('') — round-3 ADVICE: a null here raised
+        # AttributeError mid-pipeline)
+        for i, (ta, tb) in enumerate(zip(
+                batch["text_doc_a"].fillna(""),
+                batch["text_doc_b"].fillna(""))):
             sa, sb = tset(ta), tset(tb)
             jac[i] = len(sa & sb) / max(len(sa | sb), 1)
         out = batch[["doc_a", "doc_b"]].copy()

@@ -145,6 +145,79 @@ def _first_nonempty_unify(ds: ray.data.Dataset, key: str,
     return reduced.drop_columns(["__bucket"])
 
 
+# Above this many (old_id, new_id) pairs the remap table no longer
+# belongs on the driver / in every worker's heap: the rewrite switches
+# from a broadcast dict to bucketed hash substitutions. Overridable for
+# tests via KG_RAY_REMAP_BROADCAST_MAX.
+REMAP_BROADCAST_MAX = 2_000_000
+
+
+def _remap_broadcast_max() -> int:
+    import os
+    return int(os.environ.get("KG_RAY_REMAP_BROADCAST_MAX",
+                              str(REMAP_BROADCAST_MAX)))
+
+
+def _subst_column(rows: ray.data.Dataset, key_col: str,
+                  mapping: ray.data.Dataset, *,
+                  num_buckets: int = DEFAULT_NUM_BUCKETS
+                  ) -> ray.data.Dataset:
+    """``rows[key_col] <- mapping.new_id where rows[key_col] ==
+    mapping.old_id``, all other columns carried through unchanged.
+
+    Bucketed merge, not ``Dataset.join`` (the pinned-bucket
+    substitution of stages/cluster._subst generalized to arbitrary row
+    schemas): row copies route by ``hash(key) % B``, mapping rows by
+    ``hash(old_id) % B``, so every row meets its mapping in its own
+    bucket. Empty buckets keep the schema; a hot mapping value costs
+    one row per bucket; the mapping never lands on the driver."""
+    schema = rows.schema(fetch_if_missing=True)
+    row_cols = list(schema.names)
+    types = {f.name: f.type for f in schema}
+
+    def route_rows(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in row_cols}
+        cols["__map_new"] = pa.nulls(batch.num_rows, pa.string())
+        cols["__kind"] = pa.array(["r"] * batch.num_rows, pa.string())
+        cols["__bucket"] = _row_bucket(batch, [key_col], num_buckets)
+        return pa.table(cols)
+
+    def route_map(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keyed = pa.table({key_col: batch["old_id"]})
+        cols = {}
+        for c in row_cols:
+            cols[c] = batch["old_id"] if c == key_col \
+                else pa.nulls(n, types[c])
+        cols["__map_new"] = batch["new_id"]
+        cols["__kind"] = pa.array(["m"] * n, pa.string())
+        cols["__bucket"] = _row_bucket(keyed, [key_col], num_buckets)
+        return pa.table(cols)
+
+    both = rows.map_batches(route_rows, batch_format="pyarrow").union(
+        mapping.map_batches(route_map, batch_format="pyarrow"))
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        m = df[df["__kind"] == "m"]
+        r = df[df["__kind"] == "r"]
+        sub = r[key_col].map(dict(zip(m[key_col], m["__map_new"])))
+        r = r[row_cols].copy()
+        r[key_col] = sub.where(sub.notna(), r[key_col]).to_numpy()
+        out = pa.Table.from_pandas(r, preserve_index=False) \
+            .replace_schema_metadata(None)
+        # all-null columns round-trip pandas as double: cast back
+        cols = {}
+        for c in row_cols:
+            col = out[c]
+            cols[c] = col if col.type == types[c] \
+                else col.cast(types[c])
+        return pa.table(cols)
+
+    return both.groupby("__bucket").map_groups(
+        merge_bucket, batch_format="pyarrow")
+
+
 def remap_node_identifier(nodes: ray.data.Dataset,
                           edges: ray.data.Dataset, *,
                           category: str, alternative_property: str,
@@ -155,10 +228,19 @@ def remap_node_identifier(nodes: ray.data.Dataset,
     holds a CURIE with ``prefix``, rewrite the node id to that xref —
     and every edge endpoint referencing the old id.
 
-    The remap table is tiny relative to the graph: broadcast dict via
-    ``ray.put`` read inside ``map_batches`` (reference loads it fully
-    in memory too); at larger map sizes this becomes two hash joins
-    (subject, then object)."""
+    Two physical plans behind one semantic (round-3 VERDICT item 3):
+
+    - map <= REMAP_BROADCAST_MAX pairs: broadcast dict via ``ray.put``
+      read inside ``map_batches`` (the reference loads its map fully in
+      memory too — string_ppi.py:61-132);
+    - larger maps: three bucketed hash substitutions (nodes.id,
+      edges.subject, edges.object) via ``_subst_column`` — the
+      reference's real use remaps ALL ENSEMBL protein ids, a map
+      proportional to node count that must never be driver-collected.
+
+    Conflicting pairs (same old_id seen with different xrefs across
+    per-source duplicates) are pinned min-new_id-wins on BOTH paths, so
+    the plans are value-identical."""
     import ray
 
     def build_map(batch: pa.Table) -> pa.Table:
@@ -176,11 +258,32 @@ def remap_node_identifier(nodes: ray.data.Dataset,
                     olds.append(nid)
                     news.append(x)
                     break
-        return pa.table({"old_id": pa.array(olds, pa.string()),
-                         "new_id": pa.array(news, pa.string())})
+        t = pa.table({"old_id": pa.array(olds, pa.string()),
+                      "new_id": pa.array(news, pa.string())})
+        # per-block combine: min new_id per old_id
+        agg = t.group_by("old_id", use_threads=False).aggregate(
+            [("new_id", "min")])
+        return agg.rename_columns(["old_id", "new_id"])
 
-    pairs = nodes.map_batches(build_map, batch_format="pyarrow").take_all()
-    remap = {r["old_id"]: r["new_id"] for r in pairs}
+    pairs = nodes.map_batches(build_map, batch_format="pyarrow") \
+        .materialize()
+    n_pairs = pairs.count()
+
+    if n_pairs > _remap_broadcast_max():
+        # global min-new_id per old_id (blocks may disagree), then the
+        # three bucketed substitutions; the map stays distributed
+        from kg_covid_19_ray.stages.dedup import first_wins
+        mapping = first_wins(pairs, ["old_id"], "new_id")
+        nodes = _subst_column(nodes, "id", mapping)
+        edges = _subst_column(edges, "subject", mapping)
+        edges = _subst_column(edges, "object", mapping)
+        return nodes, edges
+
+    remap: dict[str, str] = {}
+    for r in pairs.take_all():
+        prev = remap.get(r["old_id"])
+        if prev is None or r["new_id"] < prev:
+            remap[r["old_id"]] = r["new_id"]
     remap_ref = ray.put(remap)
 
     def rewrite(cols: list[str]):

@@ -36,10 +36,19 @@ HASH_SPACE = 1 << 60  # first 15 hex digits of md5
 
 
 def _kmv_hashes(values, k: int) -> np.ndarray:
-    """k smallest distinct 60-bit md5 hashes of the given values."""
-    uniq = pd.unique(pd.Series(values, dtype=object))
+    """k smallest distinct 60-bit md5 hashes of the given values.
+
+    Nulls are dropped before hashing — SQL ``md5(NULL)`` is NULL and
+    falls out of the oracle's sketch, so the engine must not count a
+    null as the distinct value md5('None') (round-3 ADVICE; also keeps
+    a literal 'None' string from colliding with null). Values are
+    hashed as their string value directly, not ``str(v)`` of a
+    wrapper."""
+    uniq = pd.unique(pd.Series(values, dtype=object).dropna())
     h = np.fromiter(
-        (int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        (int(hashlib.md5(
+            (v if isinstance(v, str) else str(v)).encode()
+         ).hexdigest()[:15], 16)
          for v in uniq), dtype=np.int64, count=len(uniq))
     h = np.unique(h)  # distinct hashes (collisions collapse, as in SQL)
     return h[:k] if len(h) > k else h

@@ -81,7 +81,14 @@ class MentionDetector:
         fast: dict[str, list[int]] = {}
         self.slow: list[tuple[int, str]] = []
         for idx, surface in enumerate(self.surfaces):
-            if self.n_entries > small_max and re.fullmatch(r"\w+", surface):
+            # ASCII word chars ONLY: tokenization uses Arrow/RE2 \W+
+            # (ASCII), so a unicode surface like 'naïve' routed to the
+            # token-hash path could never match (RE2 splits it) — gate
+            # the fast path with an ASCII class, not Python's
+            # unicode-aware \w, so such surfaces fall through to the
+            # RE2 sweep (round-3 ADVICE, verified by test).
+            if self.n_entries > small_max and re.fullmatch(
+                    r"[A-Za-z0-9_]+", surface):
                 fast.setdefault(surface, []).append(idx)
             else:
                 self.slow.append((idx, rf"\b{re.escape(surface)}\b"))

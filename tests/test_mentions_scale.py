@@ -87,3 +87,17 @@ def test_detector_token_boundary_not_substring(monkeypatch):
         det = MentionDetector(entries)
         got = _detector_hits(det, texts, [0, 1, 2, 3])
         assert got == {(1, 0), (2, 0)}, f"small_max={small_max}"
+
+def test_detector_non_ascii_surface_falls_to_sweep(monkeypatch):
+    # Python \w accepts 'naïve' but RE2 \W+ tokenization (ASCII) splits
+    # it into 'na'/'ve' — the token-hash path could never match it.
+    # The fast-path gate must be ASCII-only so such surfaces take the
+    # RE2 sweep and still match (round-3 ADVICE).
+    monkeypatch.setenv("KG_RAY_SMALL_GAZETTEER_MAX", "0")
+    entries = [("naïve", "RAW:1", "", ""), ("plain", "RAW:2", "", "")]
+    det = MentionDetector(entries)
+    # the non-ASCII surface must NOT be in the fast set
+    assert det.fast_value_set.to_pylist() == ["plain"]
+    got = _detector_hits(det, ["a naïve idea", "plain text", "naive"],
+                         [0, 1, 2])
+    assert got == {(0, 0), (1, 1)}

@@ -57,3 +57,22 @@ def test_text_repetition_kernel(ray_session, tmp_path):
         toks = t.split(" ")
         assert got.loc[i, "n_tokens"] == len(toks)
         assert got.loc[i, "n_distinct_tokens"] == len(set(toks))
+
+
+def test_kmv_hashes_null_semantics():
+    """Nulls drop out of the sketch (SQL md5(NULL) IS NULL) and must
+    not collide with a literal 'None' string (round-3 ADVICE)."""
+    import hashlib
+
+    import numpy as np
+
+    from kg_covid_19_ray.pipelines.sketches import _kmv_hashes
+
+    with_null = _kmv_hashes(["a", None, "b", None], k=64)
+    no_null = _kmv_hashes(["a", "b"], k=64)
+    assert np.array_equal(with_null, no_null)
+
+    # a literal 'None' string IS a value and hashes as itself
+    lit = _kmv_hashes(["None", None], k=64)
+    exp = int(hashlib.md5(b"None").hexdigest()[:15], 16)
+    assert lit.tolist() == [exp]
