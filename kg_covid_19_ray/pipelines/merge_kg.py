@@ -171,9 +171,9 @@ def _subst_column(rows: ray.data.Dataset, key_col: str,
     ``hash(old_id) % B``, so every row meets its mapping in its own
     bucket. Empty buckets keep the schema; a hot mapping value costs
     one row per bucket; the mapping never lands on the driver."""
-    schema = rows.schema(fetch_if_missing=True)
+    schema = rows.schema(fetch_if_missing=True)  # ray.data.Schema
     row_cols = list(schema.names)
-    types = {f.name: f.type for f in schema}
+    types = dict(zip(schema.names, schema.types))
 
     def route_rows(batch: pa.Table) -> pa.Table:
         cols = {c: batch[c] for c in row_cols}
