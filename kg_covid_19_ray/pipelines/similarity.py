@@ -491,9 +491,11 @@ def dedup_embedding(sf_dir: str,
     ``stages.cluster``), then the min-id representative per cluster.
     Output: one ``(vec_id, canon_id)`` row per vector — singletons map
     to themselves; dropping rows with ``vec_id != canon_id`` is the
-    dedup. At web scale the all-pairs stage swaps for the ann_lsh
-    bucket candidates; the component and representative stages are
-    unchanged. Node ids travel through the component stage as
+    dedup. This is the exact-recall SMALL-SIDE variant (full matrix
+    broadcast); at web scale use ``dedup_embedding_lsh``, which swaps
+    the all-pairs stage for LSH bucket candidates with the component
+    and representative stages unchanged. Node ids travel through the
+    component stage as
     zero-padded strings so the lexicographic min equals the numeric
     min the SQL oracle computes."""
     from kg_covid_19_ray.stages.cluster import canonicalize_ids
@@ -535,6 +537,104 @@ def dedup_embedding(sf_dir: str,
         batch_format="pandas")
     return canonicalize_ids(pairs, ids, id_col="vec_id",
                             out_col="canon_id")
+
+
+def dedup_embedding_lsh(sf_dir: str,
+                        threshold: float = DEDUP_EMB_THRESHOLD
+                        ) -> ray.data.Dataset:
+    """Semantic near-duplicate clustering with LSH CANDIDATE GENERATION
+    — the web-scale swap for ``dedup_embedding``'s whole-matrix
+    broadcast (round-3 VERDICT item 5). Candidate pairs are vectors
+    sharing at least one of the ann_lsh (table, bucket) cells; each
+    cell verifies its own pairs exactly (cos >= threshold) with a local
+    matmul — nothing is broadcast, the exchange is the bucket groupby,
+    and per-cell work is O(cell_size^2) with cell sizes controlled by
+    LSH_BITS. The component + representative tail is unchanged
+    (``stages.cluster.canonicalize_ids``).
+
+    Recall < 1 by design (pairs in no shared bucket are missed); the
+    DuckDB oracle recomputes the same bucketed candidate set from the
+    literal-embedded hyperplanes, so the output is still fully
+    value-checkable."""
+    from kg_covid_19_ray.stages.cluster import canonicalize_ids
+    from kg_covid_19_ray.stages.dedup import distinct
+
+    def emit_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _matrix(batch)
+        sigs = _signatures(mat)
+        n = len(batch)
+        return pd.DataFrame({
+            "table_id": np.repeat(np.arange(LSH_TABLES, dtype=np.int32), n),
+            "bucket": sigs.T.reshape(-1),
+            "vec_id": np.tile(batch["vec_id"].to_numpy(), LSH_TABLES),
+            "embedding": list(batch["embedding"]) * LSH_TABLES,
+        })
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object)})
+        mat = _matrix(g)
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-300)
+        cos = _round6(mn @ mn.T)
+        ai, bi = np.nonzero((ids[:, None] < ids[None, :])
+                            & (cos >= threshold))
+        return pd.DataFrame({"a": [f"{v:020d}" for v in ids[ai]],
+                             "b": [f"{v:020d}" for v in ids[bi]]})
+
+    buckets = _read_embeddings(sf_dir).map_batches(
+        emit_buckets, batch_format="pandas")
+    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
+        cell_pairs, batch_format="pandas")
+    pairs = distinct(pairs, ["a", "b"]).materialize()
+    ids = _read_embeddings(sf_dir).map_batches(
+        lambda b: pd.DataFrame({
+            "vec_id": b["vec_id"],
+            "member": [f"{v:020d}" for v in b["vec_id"].to_numpy()]}),
+        batch_format="pandas")
+    return canonicalize_ids(pairs, ids, id_col="vec_id",
+                            out_col="canon_id")
+
+
+def _dedup_embedding_lsh_sql(threshold: float = DEDUP_EMB_THRESHOLD,
+                             dim: int = 64) -> str:
+    """Oracle for the LSH-candidate variant: same literal-embedded
+    hyperplane signatures as ``_ann_lsh_sql``, pairs restricted to
+    any-shared-bucket, exact-cosine verified, then the recursive
+    min-root closure of ``_dedup_embedding_sql``."""
+    planes = _lsh_planes(dim)
+    sig_exprs = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for b in range(LSH_BITS):
+            vec = ", ".join(repr(float(x)) for x in planes[t, b])
+            bits.append(f"(CASE WHEN list_inner_product(emb, [{vec}]) > 0 "
+                        f"THEN {1 << b} ELSE 0 END)")
+        sig_exprs.append(" + ".join(bits) + f" AS b{t}")
+    sig_cols = ",\n           ".join(sig_exprs)
+    any_bucket = " OR ".join(f"x.b{t} = y.b{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH RECURSIVE sig AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           {sig_cols}
+    FROM embeddings
+), pairs AS (
+    SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+    FROM sig x JOIN sig y
+      ON x.vec_id < y.vec_id AND ({any_bucket})
+    WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= {threshold}
+), edges AS (
+    SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), r(node, root) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.a, r.root FROM edges e JOIN r ON r.node = e.b
+)
+SELECT node AS vec_id, min(root)::BIGINT AS canon_id
+FROM r GROUP BY node
+"""
 
 
 def _dedup_embedding_sql(threshold: float = DEDUP_EMB_THRESHOLD) -> str:
@@ -837,4 +937,7 @@ REGISTRY = {
     "ann_knn_classify": (knn_classify, KNN_CLASSIFY_SQL),
     "embedding_pair_topk": (embedding_pair_topk, EMBEDDING_PAIR_TOPK_SQL),
     "dedup_embedding": (dedup_embedding, _dedup_embedding_sql()),
+    # LSH candidate generation, no corpus broadcast: the web-scale path
+    "dedup_embedding_lsh": (dedup_embedding_lsh,
+                            _dedup_embedding_lsh_sql()),
 }
