@@ -89,31 +89,67 @@ def _cooccur_counts(m: ray.data.Dataset):
     block — same invariant as mention_edges, preserved by
     ``materialize()`` for callers that pin ``m``); pair counts are
     pre-aggregated per batch (combiner) so the shuffle moves one row
-    per distinct pair per block."""
+    per distinct pair per block.
+
+    Round-4 rewrite (VERDICT item 6): the pair explosion is the
+    triangles repeat/cumsum construction — zero per-doc Python — and
+    the final reduce is a hash-bucket exchange + ONE pyarrow group_by
+    sum per bucket. Pair cardinality is the largest key space in the
+    system, so Ray's ``groupby(pair).aggregate(Sum)`` (per-GROUP
+    Python, NOTES.md) is exactly the wrong reduce here."""
     import numpy as np
     import pandas as pd
-    from ray.data.aggregate import Sum
+    import pyarrow as pa
+
+    num_buckets = 64
 
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _doc, g in batch.groupby("doc_id", sort=False):
-            cs = np.unique(g["curie"].to_numpy())
-            if len(cs) >= 2:
-                ia, ib = np.triu_indices(len(cs), k=1)
-                out_a.append(cs[ia])
-                out_b.append(cs[ib])
-        if not out_a:
-            return pd.DataFrame({"subject": pd.Series([], dtype=object),
-                                 "object": pd.Series([], dtype=object),
-                                 "n_docs": pd.Series([], dtype=np.int64)})
-        df = pd.DataFrame({"subject": np.concatenate(out_a),
-                           "object": np.concatenate(out_b)})
-        return df.groupby(["subject", "object"], sort=False) \
+        # distinct (doc, curie), sorted: within a doc-run the curies
+        # ascend, so (earlier row, later row) pairs satisfy
+        # subject < object — the oracle's a.curie < b.curie
+        df = batch.drop_duplicates(["doc_id", "curie"]) \
+                  .sort_values(["doc_id", "curie"], kind="mergesort")
+        docs = df["doc_id"].to_numpy()
+        cs = df["curie"].to_numpy()
+        n = len(df)
+        if n == 0:
+            out = pd.DataFrame({"subject": pd.Series([], dtype=object),
+                                "object": pd.Series([], dtype=object)})
+        else:
+            # pair each row with every LATER row of its doc-run
+            # (repeat/cumsum, stages/triangles.py construction)
+            run_start = np.empty(n, np.bool_)
+            run_start[0] = True
+            run_start[1:] = docs[1:] != docs[:-1]
+            run_ids = np.cumsum(run_start) - 1
+            counts = np.bincount(run_ids)
+            ends = np.cumsum(counts)
+            c = ends[run_ids] - np.arange(n) - 1  # partners after row
+            firsts = np.repeat(np.arange(n), c)
+            seg = np.cumsum(c) - c
+            seconds = np.arange(c.sum()) - np.repeat(seg, c) \
+                + np.repeat(np.arange(n) + 1, c)
+            out = pd.DataFrame({"subject": cs[firsts],
+                                "object": cs[seconds]})
+        agg = out.groupby(["subject", "object"], sort=False) \
                  .size().rename("n_docs").reset_index()
+        h = pd.util.hash_pandas_object(agg[["subject", "object"]],
+                                       index=False).to_numpy()
+        agg["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return agg
 
-    counts = m.map_batches(pairs, batch_format="pandas", batch_size=None) \
-              .groupby(["subject", "object"]) \
-              .aggregate(Sum("n_docs", alias_name="n_docs"))
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["subject", "object"],
+                         use_threads=False).aggregate([("n_docs", "sum")])
+        agg = agg.rename_columns(
+            ["n_docs" if c == "n_docs_sum" else c
+             for c in agg.column_names])
+        return agg.select(["subject", "object", "n_docs"])
+
+    counts = m.map_batches(pairs, batch_format="pandas",
+                           batch_size=None) \
+              .groupby("__bucket") \
+              .map_groups(reduce_bucket, batch_format="pyarrow")
 
     def finalize(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
