@@ -10,8 +10,11 @@ Algorithm (the standard shuffle-bounded shape, cf. Suri & Vassilvitskii
 "Counting Triangles and the Curse of the Last Reducer", WWW'11):
 
 1. normalize to distinct undirected edges (lo < hi, self-loops
-   dropped) — one bucketed dedup;
-2. degree per node — one bucketed count;
+   dropped) — one bucketed dedup that also emits per-node degree
+   partials (post-dedup), folded with the degree sum and the two
+   degree attaches into THREE id-keyed exchanges (see
+   ``_oriented_edges``; round-4 fold of what were six);
+2. degree per node — summed inside the same exchanges;
 3. ORIENT each edge from its lower-(degree, id) endpoint to the
    higher one. Every out-adjacency is then O(sqrt(E))-bounded, so the
    wedge explosion of a hub star dies: a degree-10^6 celebrity node
@@ -59,10 +62,41 @@ def _bucket_of_pairs(v, w, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
-def _distinct_undirected(edges: ray.data.Dataset, src: str, dst: str, *,
-                         num_buckets: int) -> ray.data.Dataset:
-    """-> pinned Dataset(lo, hi, __bucket=hash(lo,hi) % B), one row per
-    unordered endpoint pair, self-loops dropped."""
+def _mixed(a, b, n, kind, bucket) -> pa.Table:
+    """The shared exchange schema: pair rows and degree rows flow
+    through the SAME groupby (a=lo|id, b=hi|null, n=payload int)."""
+    return pa.table({
+        "a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
+        "n": pa.array(np.asarray(n, np.int64)),
+        "kind": pa.array([kind] * len(n), pa.string()),
+        "__bucket": pa.array(np.asarray(bucket, np.int64)),
+    })
+
+
+def _oriented_edges(edges: ray.data.Dataset, src: str, dst: str, *,
+                    num_buckets: int
+                    ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """-> (oriented, deg): oriented Dataset(u, v, du, dv,
+    __bucket=hash(u) % B) pinned for wedge generation, plus the pinned
+    degree table (the node universe).
+
+    THREE folded exchanges (round-4; was six as separate
+    dedup/degree-sum/attach-lo/attach-hi stages):
+
+    1. route by hash(lo): dedup distinct undirected edges, and emit
+       per-group degree PARTIALS for both endpoints (post-dedup, so
+       duplicates never over-count) routed by hash(id);
+    2. route by hash(id): sum partials into final degrees, attach dlo
+       to the co-routed pair rows (pairs ride the same exchange keyed
+       by their lo), re-route pairs by hash(hi) and keep one degree
+       row per id;
+    3. route by hash(hi)=hash(id): attach dhi and ORIENT in the same
+       kernel, emitting wedge-ready rows routed by hash(u).
+
+    Skew note: exchanges 1-3 are id-keyed, so a mega-hub concentrates
+    its incident rows in one bucket — the same bound the old
+    attach-degree merges had; the wedge stage stays protected by the
+    degree orientation regardless."""
     import pyarrow.compute as pc
 
     def norm(batch: pa.Table) -> pa.Table:
@@ -72,144 +106,66 @@ def _distinct_undirected(edges: ray.data.Dataset, src: str, dst: str, *,
                       "hi": pc.max_element_wise(a, b)})
         t = t.filter(pc.not_equal(t["lo"], t["hi"]))
         df = t.to_pandas().drop_duplicates()  # per-block combiner
-        return pa.table({
-            "lo": pa.array(df["lo"], pa.string()),
-            "hi": pa.array(df["hi"], pa.string()),
-            "__bucket": pa.array(_bucket_of(
-                pd.util.hash_pandas_object(df, index=False),
-                num_buckets)),
-        })
+        return _mixed(df["lo"], df["hi"], np.zeros(len(df), np.int64),
+                      "r", _bucket_of(df["lo"], num_buckets))
 
-    def dedup(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().drop_duplicates(["lo", "hi"])
-        return pa.table({
-            "lo": pa.array(df["lo"], pa.string()),
-            "hi": pa.array(df["hi"], pa.string()),
-            "__bucket": pa.array(df["__bucket"].to_numpy(np.int64)),
-        })
+    def dedup_and_partials(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(["a", "b"])
+        pairs = _mixed(df["a"], df["b"], np.zeros(len(df), np.int64),
+                       "r", df["__bucket"].to_numpy(np.int64))
+        cnt = pd.concat([df["a"], df["b"]]).value_counts()
+        ids = pd.Series(cnt.index)
+        partials = _mixed(ids, [None] * len(ids),
+                          cnt.to_numpy(np.int64), "p",
+                          _bucket_of(ids, num_buckets))
+        return pa.concat_tables([pairs, partials])
 
-    return edges.map_batches(norm, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(dedup, batch_format="pyarrow") \
-        .materialize()
-
-
-def _degree_table(pairs: ray.data.Dataset, *,
-                  num_buckets: int) -> ray.data.Dataset:
-    """-> Dataset(id, n, __bucket=hash(id) % B): degree per node, from
-    a bucketed count over the pair endpoints (per-block combiner)."""
-
-    def endpoint_counts(batch: pa.Table) -> pa.Table:
-        ids = pd.concat([batch["lo"].to_pandas(),
-                         batch["hi"].to_pandas()])
-        cnt = ids.value_counts()  # per-block combiner
-        return pa.table({
-            "id": pa.array(cnt.index, pa.string()),
-            "n": pa.array(cnt.to_numpy(np.int64)),
-            "__bucket": pa.array(_bucket_of(
-                pd.Series(cnt.index), num_buckets)),
-        })
-
-    def sum_counts(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().groupby("id", sort=False) \
-            .agg(n=("n", "sum"), __bucket=("__bucket", "first")) \
-            .reset_index()
-        return pa.table({
-            "id": pa.array(df["id"], pa.string()),
-            "n": pa.array(df["n"].to_numpy(np.int64)),
-            "__bucket": pa.array(df["__bucket"].to_numpy(np.int64)),
-        })
-
-    return pairs.map_batches(endpoint_counts, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(sum_counts,
-                                        batch_format="pyarrow")
-
-
-def _attach_degrees(pairs: ray.data.Dataset, deg: ray.data.Dataset, *,
-                    num_buckets: int) -> ray.data.Dataset:
-    """-> Dataset(lo, hi, dlo, dhi): each endpoint annotated with its
-    degree (one bucketed merge per endpoint side)."""
-    out = _merge_degree(pairs, "lo", "dlo", deg, ["hi"],
-                        num_buckets=num_buckets)
-    return _merge_degree(out, "hi", "dhi", deg, ["lo", "dlo"],
-                         num_buckets=num_buckets)
-
-
-def _merge_degree(rows: ray.data.Dataset, key: str, dcol: str,
-                  deg: ray.data.Dataset, carry: list[str], *,
-                  num_buckets: int) -> ray.data.Dataset:
-    def route_rows(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        cols = {"k": pa.array(df[key], pa.string())}
-        for c in carry:
-            arr = df[c]
-            cols[c] = (pa.array(arr.to_numpy(np.int64))
-                       if c.startswith("d")
-                       else pa.array(arr, pa.string()))
-        cols["n"] = pa.array(np.zeros(len(df), np.int64))
-        cols["kind"] = pa.array(["r"] * len(df), pa.string())
-        cols["__bucket"] = pa.array(_bucket_of(df[key], num_buckets))
-        return pa.table(cols)
-
-    def route_deg(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        cols = {"k": pa.array(df["id"], pa.string())}
-        for c in carry:
-            cols[c] = (pa.array(np.zeros(len(df), np.int64))
-                       if c.startswith("d")
-                       else pa.array([None] * len(df), pa.string()))
-        cols["n"] = pa.array(df["n"].to_numpy(np.int64))
-        cols["kind"] = pa.array(["d"] * len(df), pa.string())
-        cols["__bucket"] = pa.array(_bucket_of(df["id"], num_buckets))
-        return pa.table(cols)
-
-    both = rows.map_batches(route_rows, batch_format="pyarrow").union(
-        deg.map_batches(route_deg, batch_format="pyarrow"))
-
-    def merge(g: pa.Table) -> pa.Table:
+    def sum_and_attach_dlo(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
+        deg = df[df["kind"] == "p"].groupby("a", sort=False)["n"].sum()
         r = df[df["kind"] == "r"]
-        d = df[df["kind"] == "d"].drop_duplicates("k") \
-            .set_index("k")["n"]
-        got = r["k"].map(d).to_numpy(np.int64)
-        cols = {key: pa.array(r["k"], pa.string())}
-        for c in carry:
-            cols[c] = (pa.array(r[c].to_numpy(np.int64))
-                       if c.startswith("d")
-                       else pa.array(r[c], pa.string()))
-        cols[dcol] = pa.array(got)
-        return pa.table(cols)
+        dlo = r["a"].map(deg).to_numpy(np.int64)
+        pairs = _mixed(r["a"], r["b"], dlo, "r",
+                       _bucket_of(r["b"], num_buckets))
+        ids = pd.Series(deg.index)
+        degs = _mixed(ids, [None] * len(ids), deg.to_numpy(np.int64),
+                      "d", _bucket_of(ids, num_buckets))
+        return pa.concat_tables([pairs, degs])
 
-    return both.groupby("__bucket").map_groups(
-        merge, batch_format="pyarrow")
-
-
-def _oriented_edges(edges: ray.data.Dataset, src: str, dst: str, *,
-                    num_buckets: int
-                    ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
-    """-> (oriented, deg): oriented Dataset(u, v, du, dv,
-    __bucket=hash(u) % B) pinned for wedge generation, plus the pinned
-    degree table (the node universe)."""
-    pairs = _distinct_undirected(edges, src, dst,
-                                 num_buckets=num_buckets)
-    deg = _degree_table(pairs, num_buckets=num_buckets).materialize()
-    with_deg = _attach_degrees(pairs, deg, num_buckets=num_buckets)
-
-    def orient(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        lo_first = (df["dlo"].to_numpy() < df["dhi"].to_numpy()) | (
-            (df["dlo"].to_numpy() == df["dhi"].to_numpy())
-            & (df["lo"].to_numpy() < df["hi"].to_numpy()))
-        u = np.where(lo_first, df["lo"], df["hi"])
-        v = np.where(lo_first, df["hi"], df["lo"])
-        du = np.where(lo_first, df["dlo"], df["dhi"]).astype(np.int64)
-        dv = np.where(lo_first, df["dhi"], df["dlo"]).astype(np.int64)
+    def attach_dhi_and_orient(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        d = df[df["kind"] == "d"].set_index("a")["n"]
+        r = df[df["kind"] == "r"]
+        lo, hi = r["a"].to_numpy(), r["b"].to_numpy()
+        dlo = r["n"].to_numpy(np.int64)
+        dhi = r["b"].map(d).to_numpy(np.int64)
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        u = np.where(lo_first, lo, hi)
+        v = np.where(lo_first, hi, lo)
+        du = np.where(lo_first, dlo, dhi).astype(np.int64)
+        dv = np.where(lo_first, dhi, dlo).astype(np.int64)
         return pa.table({
             "u": pa.array(u, pa.string()), "v": pa.array(v, pa.string()),
             "du": pa.array(du), "dv": pa.array(dv),
             "__bucket": pa.array(_bucket_of(pd.Series(u), num_buckets)),
         })
 
-    oriented = with_deg.map_batches(orient, batch_format="pyarrow") \
+    summed = edges.map_batches(norm, batch_format="pyarrow") \
+        .groupby("__bucket") \
+        .map_groups(dedup_and_partials, batch_format="pyarrow") \
+        .groupby("__bucket") \
+        .map_groups(sum_and_attach_dlo, batch_format="pyarrow") \
+        .materialize()
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        t = batch.filter(pc2.equal(batch["kind"], "d"))
+        return pa.table({"id": t["a"], "n": t["n"],
+                         "__bucket": t["__bucket"]})
+
+    deg = summed.map_batches(deg_rows, batch_format="pyarrow")
+    oriented = summed.groupby("__bucket") \
+        .map_groups(attach_dhi_and_orient, batch_format="pyarrow") \
         .materialize()
     return oriented, deg
 
