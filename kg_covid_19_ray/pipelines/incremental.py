@@ -10,9 +10,12 @@ history is never paid twice.
 Model here (north-rule "resumable from checkpoint with per-partition
 lineage + metrics" taken one step further — resumable AND extendable):
 
-- The page corpus is partitioned into deterministic SHARDS (stand-in
-  for "one crawl dump per shard"; at production scale each shard is its
-  own parquet directory and no filter is needed).
+- The page corpus is partitioned into deterministic SHARDS. The
+  production shape is IMPLEMENTED: pass a list of crawl-dump parquet
+  directories and each shard reads only its own dir
+  (``build_crawl_shard`` — no full-corpus re-read, shard cost ∝ shard
+  size); a single corpus dir falls back to the ``doc_id % modulus``
+  filter stand-in used by the fixed sf test tables.
 - Per shard, the flagship chain runs once and its three artifacts are
   checkpointed via ``state.checkpoint.run_stage`` (partitioned parquet
   + lineage manifest): ``edges`` (shard-locally deduped), ``pub_nodes``,
@@ -179,29 +182,111 @@ def build_shard(source: str, checkpoint_root: str, shard: int,
     return {"edges": edges, "pub_nodes": pubs, "term_nodes_keyed": terms}
 
 
+def build_crawl_shard(crawl_dir: str,
+                      checkpoint_root: str) -> dict[str, ray.data.Dataset]:
+    """One shard = one crawl dump directory (the PRODUCTION shape): the
+    shard's pages are read from ``crawl_dir`` alone — no full-corpus
+    re-read, no filter; shard cost is proportional to shard size. Shard
+    identity is the crawl dir's path + content fingerprint, so
+    appending new crawl dirs never invalidates history."""
+    tag = "crawl_" + hashlib.md5(
+        os.path.abspath(crawl_dir).encode()).hexdigest()[:10]
+    fp = fingerprint_for_path(crawl_dir, "incr-v1", tag,
+                              _code_fingerprint())
+
+    docs = run_stage(
+        checkpoint_root, f"docs_{tag}", fp,
+        lambda: extracted_docs(crawl_dir).select_columns(
+            ["doc_id", "title", "text"]),
+        inputs=[crawl_dir])
+    mentions = run_stage(
+        checkpoint_root, f"mentions_{tag}", fp,
+        lambda: canonical_mentions(docs), inputs=[crawl_dir])
+    edges = run_stage(
+        checkpoint_root, f"edges_{tag}", fp,
+        lambda: mention_edges(mentions, copartitioned=False),
+        inputs=[crawl_dir])
+    pubs = run_stage(
+        checkpoint_root, f"pub_nodes_{tag}", fp,
+        lambda: _pub_nodes(docs), inputs=[crawl_dir])
+    terms = run_stage(
+        checkpoint_root, f"term_nodes_keyed_{tag}", fp,
+        lambda: _term_nodes_keyed(mentions), inputs=[crawl_dir])
+    return {"edges": edges, "pub_nodes": pubs, "term_nodes_keyed": terms}
+
+
+def split_pages_to_crawl_dirs(source: str, out_root: str, *,
+                              num_crawls: int = 4) -> list[str]:
+    """Materialize an sf corpus as per-crawl page dumps (the stand-in
+    that makes the driver queries exercise the production per-dir
+    path): ONE partitioned-parquet pass (``partition_cols``), one
+    directory per crawl, idempotent via marker. Returns the crawl
+    dirs."""
+    from kg_covid_19_ray.pipelines.flagship import pages_dataset
+
+    doc_table = os.path.join(source, "documents.parquet")
+    key = fingerprint_for_path(
+        doc_table if os.path.exists(doc_table) else source,
+        f"crawlsplit-v1:{num_crawls}")
+    marker = os.path.join(out_root, f"_SUCCESS_{key}")
+    dirs = [os.path.join(out_root, f"crawl={k}")
+            for k in range(num_crawls)]
+    if os.path.exists(marker):
+        return dirs
+    import shutil
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+
+    def add_crawl(batch: pa.Table) -> pa.Table:
+        # crawl key from the url's trailing doc id (pages carry no
+        # doc_id column; extraction parses it the same way —
+        # stages/extract.py)
+        import numpy as np
+        urls = batch["url"].to_pylist()
+        ids = np.array([int(u.rsplit("-", 1)[1]) for u in urls], np.int64)
+        return batch.append_column(
+            "crawl", pa.array(ids % num_crawls, pa.int64()))
+
+    pages_dataset(source).map_batches(add_crawl, batch_format="pyarrow") \
+        .write_parquet(out_root, partition_cols=["crawl"])
+    with open(marker, "w") as f:
+        f.write("ok")
+    return dirs
+
+
 def build_kg_incremental(
-    source: str,
+    source: str | list[str],
     *,
     checkpoint_root: str | None = None,
     modulus: int = 2,
     shard_ids: list[int] | None = None,
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
-    """-> (nodes, edges) over the shards in ``shard_ids`` (default:
-    all ``modulus`` shards, which is hash-identical to
-    ``flagship.build_kg`` over the same corpus), built shard-by-shard
-    with per-shard resume.
+    """-> (nodes, edges), built shard-by-shard with per-shard resume.
+
+    ``source`` as a LIST of crawl-dump directories is the production
+    shape: each dir is one shard, read alone (``build_crawl_shard``).
+    ``source`` as a single corpus dir is the test stand-in: shards are
+    a deterministic ``doc_id % modulus`` filter over the one corpus
+    (``shard_ids`` selects a subset; default all, which is
+    hash-identical to ``flagship.build_kg`` over the same corpus).
 
     Merge cost is the part that must scale: edges and publication nodes
     are disjoint unions (zero shuffle — reading checkpoints IS the
     merge); the only exchange is the term-node ``first_wins`` over
     tables already reduced to one row per (shard, term) — bounded by
-    ``len(shard_ids) × |gazetteer|`` rows, not by corpus size."""
-    if checkpoint_root is None:
-        checkpoint_root = default_checkpoint_root(source)
-    if shard_ids is None:
-        shard_ids = list(range(modulus))
-    shards = [build_shard(source, checkpoint_root, k, modulus)
-              for k in shard_ids]
+    ``num_shards × |gazetteer|`` rows, not by corpus size."""
+    if isinstance(source, list):
+        if checkpoint_root is None:
+            checkpoint_root = default_checkpoint_root(
+                "|".join(os.path.abspath(d) for d in source))
+        shards = [build_crawl_shard(d, checkpoint_root) for d in source]
+    else:
+        if checkpoint_root is None:
+            checkpoint_root = default_checkpoint_root(source)
+        if shard_ids is None:
+            shard_ids = list(range(modulus))
+        shards = [build_shard(source, checkpoint_root, k, modulus)
+                  for k in shard_ids]
 
     edges = shards[0]["edges"]
     pubs = shards[0]["pub_nodes"]
@@ -216,11 +301,21 @@ def build_kg_incremental(
     return pubs.union(terms), edges
 
 
+def _crawl_dirs_for(sf_dir: str) -> list[str]:
+    out_root = os.path.join(
+        "/tmp/kg_ray_crawls",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    return split_pages_to_crawl_dirs(sf_dir, out_root, num_crawls=4)
+
+
 def q_kg_incr_edges(sf_dir: str) -> ray.data.Dataset:
-    _nodes, edges = build_kg_incremental(sf_dir)
+    """Incremental build through the PRODUCTION shape: the corpus is
+    materialized once as per-crawl page dumps, each shard reads ONLY
+    its own dir, and the merged edges share the from-scratch oracle."""
+    _nodes, edges = build_kg_incremental(_crawl_dirs_for(sf_dir))
     return edges
 
 
 def q_kg_incr_nodes(sf_dir: str) -> ray.data.Dataset:
-    nodes, _edges = build_kg_incremental(sf_dir)
+    nodes, _edges = build_kg_incremental(_crawl_dirs_for(sf_dir))
     return nodes

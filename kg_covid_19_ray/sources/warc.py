@@ -46,11 +46,10 @@ def _warc_record(rec_type: str, headers: list[tuple[str, str]],
     return b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
 
 
-def write_warc(path: str, pages: list[dict], *,
-               gzip_members: bool = True) -> None:
-    """Write one WARC file: a ``warcinfo`` preamble + one ``response``
-    record per page dict (url, warc_ts: datetime, html: bytes,
-    lang: str). ``gzip_members``: each record its own gzip member
+def _pages_to_warc_bytes(pages, *, gzip_members: bool = True) -> bytes:
+    """Pages (dicts with url, warc_ts: datetime, html: bytes, lang) ->
+    one WARC file image: a ``warcinfo`` preamble + one ``response``
+    record per page. ``gzip_members``: each record its own gzip member
     (the Common Crawl layout)."""
     out = io.BytesIO()
 
@@ -71,8 +70,57 @@ def write_warc(path: str, pages: list[dict], *,
             ("WARC-Date", p["warc_ts"].strftime(_TS_FMT)),
             ("Content-Type", "application/http;msgtype=response"),
         ], http))
+    return out.getvalue()
+
+
+def write_warc(path: str, pages: list[dict], *,
+               gzip_members: bool = True) -> None:
+    """Write one WARC file on the local filesystem (driver-side helper
+    for small fixtures; the distributed path is
+    ``write_warc_dataset``)."""
     with open(path, "wb") as f:
-        f.write(out.getvalue())
+        f.write(_pages_to_warc_bytes(pages, gzip_members=gzip_members))
+
+
+def make_warc_datasink(path: str, *, gzip_members: bool = True,
+                       min_rows_per_file: int | None = None):
+    from ray.data.datasource import BlockBasedFileDatasink
+
+    class WarcDatasink(BlockBasedFileDatasink):
+        def __init__(self) -> None:
+            super().__init__(
+                path,
+                file_format="warc.gz" if gzip_members else "warc",
+                min_rows_per_file=min_rows_per_file)
+
+        def write_block_to_file(self, block, file) -> None:
+            t = block.to_arrow()
+            pages = ({"url": u, "warc_ts": ts, "html": h, "lang": lg}
+                     for u, ts, h, lg in zip(
+                         t["url"].to_pylist(), t["warc_ts"].to_pylist(),
+                         t["html"].to_pylist(), t["lang"].to_pylist()))
+            file.write(_pages_to_warc_bytes(
+                pages, gzip_members=gzip_members))
+
+    return WarcDatasink()
+
+
+def write_warc_dataset(pages: ray.data.Dataset, out_dir: str, *,
+                       num_files: int | None = None,
+                       gzip_members: bool = True) -> None:
+    """DISTRIBUTED WARC writer: every write task serializes its block
+    as one standalone ``.warc.gz`` (warcinfo preamble + one gzipped
+    ``response`` member per page — the Common Crawl member layout), so
+    a crawl-scale corpus is written by all workers in parallel and the
+    output directory is a valid multi-file dump for ``read_warc``.
+    ``num_files`` repartitions first (None = one file per input
+    block). File-per-block keeps each page's records whole within one
+    file, which is what lets the reader preserve the detector
+    co-partition invariant downstream."""
+    if num_files is not None:
+        pages = pages.repartition(num_files)
+    pages.write_datasink(
+        make_warc_datasink(out_dir, gzip_members=gzip_members))
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -172,7 +220,7 @@ def write_warc_fixture(sf_dir: str, out_dir: str, *,
     st = os.stat(doc_path)
     key = hashlib.md5(
         f"{os.path.abspath(doc_path)}:{st.st_mtime:.0f}:{st.st_size}:"
-        f"{num_files}:warc-v1".encode()).hexdigest()[:12]
+        f"{num_files}:warc-v2".encode()).hexdigest()[:12]
     marker = os.path.join(out_dir, f"_SUCCESS_{key}")
     if os.path.exists(marker):
         return out_dir
@@ -181,20 +229,8 @@ def write_warc_fixture(sf_dir: str, out_dir: str, *,
         os.unlink(stale)
 
     from kg_covid_19_ray.sources.pages import read_pages
-    shards: list[list[dict]] = [[] for _ in range(num_files)]
-    for b in read_pages(sf_dir).iter_batches(batch_format="pyarrow",
-                                             batch_size=None):
-        urls = b["url"].to_pylist()
-        tss = b["warc_ts"].to_pylist()
-        htmls = b["html"].to_pylist()
-        langs = b["lang"].to_pylist()
-        for u, t, h, lg in zip(urls, tss, htmls, langs):
-            doc_id = int(u.rsplit("-", 1)[1])
-            shards[doc_id % num_files].append(
-                {"url": u, "warc_ts": t, "html": h, "lang": lg})
-    for i, pages in enumerate(shards):
-        write_warc(os.path.join(out_dir, f"crawl-{i:05d}.warc.gz"),
-                   pages)
+    write_warc_dataset(read_pages(sf_dir), out_dir,
+                       num_files=num_files)
     with open(marker, "w") as f:
         f.write("ok")
     return out_dir

@@ -70,3 +70,35 @@ def test_adding_a_shard_reuses_history(ray_session, tmp_path):
     assert edges_all.count() > partial_edges
     assert _canon(nodes_all.to_pandas()).equals(_canon(nodes_f.to_pandas()))
     assert _canon(edges_all.to_pandas()).equals(_canon(edges_f.to_pandas()))
+
+
+def test_crawl_dirs_production_path(ray_session, tmp_path):
+    """The per-crawl-dir shape: each shard reads ONLY its own dump dir
+    (no corpus filter), merges to the exact from-scratch graph, and
+    appending a new crawl dir leaves history manifests untouched."""
+    from kg_covid_19_ray.pipelines.incremental import (
+        split_pages_to_crawl_dirs)
+
+    dirs = split_pages_to_crawl_dirs(
+        SF, str(tmp_path / "crawls"), num_crawls=3)
+    assert len(dirs) == 3 and all(os.path.isdir(d) for d in dirs)
+
+    root = str(tmp_path / "ckpt")
+    nodes_01, edges_01 = build_kg_incremental(
+        dirs[:2], checkpoint_root=root)
+    partial = edges_01.count()
+    assert partial > 0
+    history = _manifest_mtimes(root)
+    assert len(history) == 10
+
+    # the third crawl dump arrives: history shards resume untouched
+    nodes_all, edges_all = build_kg_incremental(
+        dirs, checkpoint_root=root)
+    after = _manifest_mtimes(root)
+    assert all(after[p] == t for p, t in history.items())
+    assert len(after) == 15
+
+    nodes_f, edges_f = build_kg(SF)
+    assert edges_all.count() > partial
+    assert _canon(nodes_all.to_pandas()).equals(_canon(nodes_f.to_pandas()))
+    assert _canon(edges_all.to_pandas()).equals(_canon(edges_f.to_pandas()))
