@@ -170,6 +170,21 @@ def _signatures(mat: np.ndarray) -> np.ndarray:
     return sigs
 
 
+def _emit_lsh_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+    """One row per (vector, table): its LSH cell plus the embedding,
+    ready for a (table_id, bucket) groupby — shared by every
+    LSH-candidate pipeline."""
+    mat = _matrix(batch)
+    sigs = _signatures(mat)
+    n = len(batch)
+    return pd.DataFrame({
+        "table_id": np.repeat(np.arange(LSH_TABLES, dtype=np.int32), n),
+        "bucket": sigs.T.reshape(-1),
+        "vec_id": np.tile(batch["vec_id"].to_numpy(), LSH_TABLES),
+        "embedding": list(batch["embedding"]) * LSH_TABLES,
+    })
+
+
 def ann_lsh(sf_dir: str) -> ray.data.Dataset:
     """LSH-bucketed approximate top-k: vectors hashed into
     LSH_TABLES x 2^LSH_BITS buckets; a query's candidates are all
@@ -180,19 +195,8 @@ def ann_lsh(sf_dir: str) -> ray.data.Dataset:
     ann_bruteforce."""
     query_ref = ray.put(_load_queries(sf_dir))
 
-    def emit_buckets(batch: pd.DataFrame) -> pd.DataFrame:
-        mat = _matrix(batch)
-        sigs = _signatures(mat)
-        n = len(batch)
-        return pd.DataFrame({
-            "table_id": np.repeat(np.arange(LSH_TABLES, dtype=np.int32), n),
-            "bucket": sigs.T.reshape(-1),
-            "vec_id": np.tile(batch["vec_id"].to_numpy(), LSH_TABLES),
-            "embedding": list(batch["embedding"]) * LSH_TABLES,
-        })
-
     buckets = _read_embeddings(sf_dir).map_batches(
-        emit_buckets, batch_format="pandas")
+        _emit_lsh_buckets, batch_format="pandas")
 
     def bucket_scorer(g: pd.DataFrame) -> pd.DataFrame:
         """Re-rank inside one (table, bucket) group: pairs (query in
@@ -559,17 +563,6 @@ def dedup_embedding_lsh(sf_dir: str,
     from kg_covid_19_ray.stages.cluster import canonicalize_ids
     from kg_covid_19_ray.stages.dedup import distinct
 
-    def emit_buckets(batch: pd.DataFrame) -> pd.DataFrame:
-        mat = _matrix(batch)
-        sigs = _signatures(mat)
-        n = len(batch)
-        return pd.DataFrame({
-            "table_id": np.repeat(np.arange(LSH_TABLES, dtype=np.int32), n),
-            "bucket": sigs.T.reshape(-1),
-            "vec_id": np.tile(batch["vec_id"].to_numpy(), LSH_TABLES),
-            "embedding": list(batch["embedding"]) * LSH_TABLES,
-        })
-
     def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g["vec_id"].to_numpy()
         if len(ids) < 2:
@@ -585,7 +578,7 @@ def dedup_embedding_lsh(sf_dir: str,
                              "b": [f"{v:020d}" for v in ids[bi]]})
 
     buckets = _read_embeddings(sf_dir).map_batches(
-        emit_buckets, batch_format="pandas")
+        _emit_lsh_buckets, batch_format="pandas")
     pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
         cell_pairs, batch_format="pandas")
     pairs = distinct(pairs, ["a", "b"]).materialize()
@@ -596,6 +589,81 @@ def dedup_embedding_lsh(sf_dir: str,
         batch_format="pandas")
     return canonicalize_ids(pairs, ids, id_col="vec_id",
                             out_col="canon_id")
+
+
+def embedding_pair_topk_lsh(sf_dir: str) -> ray.data.Dataset:
+    """Top-PAIR_TOPK cosine pairs with LSH CANDIDATE GENERATION — the
+    web-scale swap for ``embedding_pair_topk``'s whole-matrix
+    broadcast. Candidates are pairs sharing at least one ann_lsh
+    (table, bucket) cell; each cell scores its own pairs with one
+    local matmul and keeps a PARTIAL top-PAIR_TOPK in the same
+    (rounded cos desc, vec_a, vec_b) total order as the global cut, so
+    the union of cell partials provably contains the global top-k
+    (union-safe: rounding happens before the cut). Nothing is
+    broadcast; the exchanges are the bucket groupby and the final
+    small sort. Recall < 1 by design (a top pair sharing no bucket is
+    missed); the oracle recomputes the same bucketed candidate set, so
+    the output is fully value-checkable."""
+    from kg_covid_19_ray.stages.dedup import distinct
+
+    def cell_topk(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                                 "vec_b": pd.Series([], dtype=np.int64),
+                                 "cos": pd.Series([], dtype=np.float64)})
+        mat = _matrix(g)
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-300)
+        cos = _round6(mn @ mn.T)
+        ai, bi = np.nonzero(ids[:, None] < ids[None, :])
+        vec_a, vec_b, c = ids[ai], ids[bi], cos[ai, bi]
+        if len(c) > PAIR_TOPK:
+            top = np.lexsort((vec_b, vec_a, -c))[:PAIR_TOPK]
+            vec_a, vec_b, c = vec_a[top], vec_b[top], c[top]
+        return pd.DataFrame({"vec_a": vec_a.astype(np.int64),
+                             "vec_b": vec_b.astype(np.int64),
+                             "cos": c})
+
+    buckets = _read_embeddings(sf_dir).map_batches(
+        _emit_lsh_buckets, batch_format="pandas")
+    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
+        cell_topk, batch_format="pandas")
+    # a pair sharing several cells appears once per cell (same rounded
+    # cos each time) — dedup before the global cut
+    pairs = distinct(pairs, ["vec_a", "vec_b", "cos"])
+    return pairs.sort(["cos", "vec_a", "vec_b"],
+                      descending=[True, False, False]).limit(PAIR_TOPK)
+
+
+def _embedding_pair_topk_lsh_sql(dim: int = 64) -> str:
+    """Oracle: same literal-embedded hyperplane signatures as
+    ``_ann_lsh_sql``, candidate pairs restricted to any-shared-bucket,
+    exact-cosine ranked, global LIMIT."""
+    planes = _lsh_planes(dim)
+    sig_exprs = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for b in range(LSH_BITS):
+            vec = ", ".join(repr(float(x)) for x in planes[t, b])
+            bits.append(f"(CASE WHEN list_inner_product(emb, [{vec}]) > 0 "
+                        f"THEN {1 << b} ELSE 0 END)")
+        sig_exprs.append(" + ".join(bits) + f" AS b{t}")
+    sig_cols = ",\n           ".join(sig_exprs)
+    any_bucket = " OR ".join(f"x.b{t} = y.b{t}" for t in range(LSH_TABLES))
+    return f"""
+WITH sig AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           {sig_cols}
+    FROM embeddings
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round(list_cosine_similarity(x.emb, y.emb), 6) AS cos
+FROM sig x JOIN sig y
+  ON x.vec_id < y.vec_id AND ({any_bucket})
+ORDER BY cos DESC, vec_a, vec_b
+LIMIT {PAIR_TOPK}
+"""
 
 
 def _dedup_embedding_lsh_sql(threshold: float = DEDUP_EMB_THRESHOLD,
@@ -850,8 +918,12 @@ def ann_ivf_join(sf_dir: str, probes: int = IVF_PROBES) -> ray.data.Dataset:
     the fixture; thousands at web scale)."""
     import pyarrow.parquet as pq
 
+    # pruned quantizer read: only the IVF_CELLS seed rows ever reach
+    # the driver (round-4; same filters= fix as ann_ivf/_load_queries)
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"]).sort_by("vec_id")
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", IVF_CELLS)]
+                      ).sort_by("vec_id")
     cent = np.stack([np.asarray(t["embedding"][int(i)].as_py(),
                                 dtype=np.float64)
                      for i in range(min(IVF_CELLS, t.num_rows))])
@@ -936,6 +1008,9 @@ REGISTRY = {
 
     "ann_knn_classify": (knn_classify, KNN_CLASSIFY_SQL),
     "embedding_pair_topk": (embedding_pair_topk, EMBEDDING_PAIR_TOPK_SQL),
+    # LSH candidate generation, no corpus broadcast: the web-scale path
+    "embedding_pair_topk_lsh": (embedding_pair_topk_lsh,
+                                _embedding_pair_topk_lsh_sql()),
     "dedup_embedding": (dedup_embedding, _dedup_embedding_sql()),
     # LSH candidate generation, no corpus broadcast: the web-scale path
     "dedup_embedding_lsh": (dedup_embedding_lsh,

@@ -208,7 +208,13 @@ def read_warc(paths: str | list[str]) -> ray.data.Dataset:
             "lang": pa.array([r["lang"] for r in rows], pa.string()),
         })
 
-    return ds.map_batches(to_pages, batch_format="pyarrow")
+    # batch_size=None = one batch per block (one file per read task):
+    # the default row-count batching would coalesce MANY file blobs
+    # into one batch and serialize the whole dump's parse into a
+    # single task (measured 767s for a 64-file 1M-page dump; per-file
+    # tasks parse in parallel)
+    return ds.map_batches(to_pages, batch_format="pyarrow",
+                          batch_size=None)
 
 
 def write_warc_fixture(sf_dir: str, out_dir: str, *,
