@@ -227,6 +227,42 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
 
         timed("warc_ingest_big", warc_ingest_big, reps=1)
 
+    # incremental build at crawl scale (round-4, VERDICT item 10): a
+    # 1M-page corpus as 4 per-crawl dumps. incr_hist3_big = cold build
+    # of 3 dumps (checkpoint root wiped); incr_append_big = the 4th
+    # dump arriving. Append ≈ hist3/3 is the shard-cost-∝-shard-size
+    # evidence: each shard reads ONLY its own dir.
+    incr_replicas = int(os.environ.get("GRAFT_INCR_REPLICAS", "200"))
+    if incr_replicas > 0 and (only is None
+                              or only in ("incr_hist3_big",
+                                          "incr_append_big")):
+        import shutil
+        from kg_covid_19_ray.pipelines.incremental import (
+            build_kg_incremental, split_pages_to_crawl_dirs)
+        tagb = os.path.basename(os.path.normpath(sf_dir))
+        pages_1m = f"/tmp/kg_ray_bench/pages_{tagb}_x{incr_replicas}"
+        write_pages_parquet(sf_dir, pages_1m, replicas=incr_replicas)
+        crawls = split_pages_to_crawl_dirs(
+            pages_1m,
+            f"/tmp/kg_ray_bench/crawls_{tagb}_x{incr_replicas}",
+            num_crawls=4)
+        ckpt = f"/tmp/kg_ray_bench/incr_ckpt_{tagb}_x{incr_replicas}"
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+        def incr_hist3_big():
+            n, e = build_kg_incremental(crawls[:3], checkpoint_root=ckpt)
+            return e.count()
+
+        timed("incr_hist3_big", incr_hist3_big, reps=1)
+        if not os.path.isdir(ckpt):  # hist skipped by BENCH_ONLY
+            incr_hist3_big()
+
+        def incr_append_big():
+            n, e = build_kg_incremental(crawls, checkpoint_root=ckpt)
+            return e.count()
+
+        timed("incr_append_big", incr_append_big, reps=1)
+
     # ANN at 10^6 vectors: planted-cluster embeddings (sources/embedgen,
     # cached) through the IVF probe path and the cell-shuffle join path.
     emb_replicas = int(os.environ.get("GRAFT_EMB_REPLICAS", "2000"))

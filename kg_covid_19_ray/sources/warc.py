@@ -91,7 +91,12 @@ def make_warc_datasink(path: str, *, gzip_members: bool = True,
             super().__init__(
                 path,
                 file_format="warc.gz" if gzip_members else "warc",
-                min_rows_per_file=min_rows_per_file)
+                min_rows_per_file=min_rows_per_file,
+                # our bytes are ALREADY per-record gzip members;
+                # pyarrow's default compression='detect' would wrap
+                # the .gz file in a second gzip layer (measured:
+                # double-compressed dumps, wasted CPU both ways)
+                open_stream_args={"compression": None})
 
         def write_block_to_file(self, block, file) -> None:
             t = block.to_arrow()
@@ -129,7 +134,11 @@ def parse_warc(data: bytes) -> list[dict]:
     metadata) are skipped. Strict Content-Length walk; malformed
     framing raises ValueError with the byte offset."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)  # multi-member: all members
+        # multi-member stream: GzipFile streams members in chunks
+        # (O(n)); gzip.decompress re-slices unused_data per member —
+        # QUADRATIC on per-record-member archives (measured 11.9s vs
+        # 0.2s on a 15.6k-member 6MB file)
+        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
     rows: list[dict] = []
     pos = 0
     n = len(data)
@@ -184,37 +193,55 @@ def _parse_warc_date(value: str) -> datetime:
         return datetime.strptime(value, "%Y-%m-%dT%H:%M:%SZ")
 
 
+def _pages_table(rows: list[dict]) -> pa.Table:
+    return pa.table({
+        "url": pa.array([r["url"] for r in rows], pa.string()),
+        "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                            pa.timestamp("us")),
+        "html": pa.array([r["html"] for r in rows], pa.binary()),
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+    })
+
+
 def read_warc(paths: str | list[str]) -> ray.data.Dataset:
     """WARC file(s)/dir -> Dataset(url, warc_ts:timestamp[us],
     html:binary, lang) — schema-identical to the Parquet pages path.
-    One parse task per file (``read_binary_files``), records emitted
-    as one Arrow block per file. A directory resolves to its
-    ``*.warc[.gz]`` members (markers and sidecars ignored)."""
+    A directory resolves to its ``*.warc[.gz]`` members (markers and
+    sidecars ignored).
+
+    Implemented as a ``FileBasedDatasource`` so the READ op itself
+    emits page-row blocks. The earlier read_binary_files + map_batches
+    shape was a trap: binary-file blocks carry ONE ROW each, so any
+    downstream ``batch_size`` (the detector's 2048) made Ray bundle
+    thousands of file-rows — the whole dump — into a single fused
+    task (measured: 1M pages parsed+detected in 1 task, 767s; this
+    shape: 64 parallel file tasks, ~10s end-to-end)."""
+    from ray.data.datasource import FileBasedDatasource
+
     if isinstance(paths, str) and os.path.isdir(paths):
         paths = sorted(
             _glob.glob(os.path.join(paths, "*.warc"))
             + _glob.glob(os.path.join(paths, "*.warc.gz")))
-    ds = ray.data.read_binary_files(paths)
+    if isinstance(paths, str):
+        paths = [paths]
 
-    def to_pages(batch: pa.Table) -> pa.Table:
-        rows: list[dict] = []
-        for blob in batch["bytes"].to_pylist():
-            rows.extend(parse_warc(blob))
-        return pa.table({
-            "url": pa.array([r["url"] for r in rows], pa.string()),
-            "warc_ts": pa.array([r["warc_ts"] for r in rows],
-                                pa.timestamp("us")),
-            "html": pa.array([r["html"] for r in rows], pa.binary()),
-            "lang": pa.array([r["lang"] for r in rows], pa.string()),
-        })
+    class WarcDatasource(FileBasedDatasource):
+        def __init__(self) -> None:
+            # compression=None: hand parse_warc the raw member-gzip
+            # bytes (pyarrow's extension-detect would decompress .gz
+            # transparently; CPython's gzip owns multi-member decoding
+            # here)
+            super().__init__(
+                paths, file_extensions=["warc", "warc.gz"],
+                open_stream_args={"compression": None})
 
-    # batch_size=None = one batch per block (one file per read task):
-    # the default row-count batching would coalesce MANY file blobs
-    # into one batch and serialize the whole dump's parse into a
-    # single task (measured 767s for a 64-file 1M-page dump; per-file
-    # tasks parse in parallel)
-    return ds.map_batches(to_pages, batch_format="pyarrow",
-                          batch_size=None)
+        def _read_stream(self, f, path: str):
+            yield _pages_table(parse_warc(f.readall()))
+
+    # one task per file: archives are a few MB, so size-based packing
+    # would batch many files into few tasks and starve the CPUs
+    return ray.data.read_datasource(WarcDatasource(),
+                                    override_num_blocks=len(paths))
 
 
 def write_warc_fixture(sf_dir: str, out_dir: str, *,
@@ -226,7 +253,7 @@ def write_warc_fixture(sf_dir: str, out_dir: str, *,
     st = os.stat(doc_path)
     key = hashlib.md5(
         f"{os.path.abspath(doc_path)}:{st.st_mtime:.0f}:{st.st_size}:"
-        f"{num_files}:warc-v2".encode()).hexdigest()[:12]
+        f"{num_files}:warc-v3".encode()).hexdigest()[:12]
     marker = os.path.join(out_dir, f"_SUCCESS_{key}")
     if os.path.exists(marker):
         return out_dir
