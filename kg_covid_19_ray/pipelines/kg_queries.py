@@ -257,6 +257,41 @@ def q_kg_edges_from_warc(sf_dir: str):
     return mention_edges(canonical_mentions(docs))
 
 
+def q_kg_remapped_edges(sf_dir: str):
+    """J3 id remap (merge.yaml:42-47) through the BUCKETED-JOIN plan
+    (``broadcast_max=0`` forces the three hash substitutions — the
+    scale path for maps proportional to node count): every publication
+    node carries a synthetic pipe-xref ``ALT:<id>``, so the remap
+    rewrites each ``WEB:*`` edge subject to ``ALT:WEB:*`` through the
+    REAL map-derivation + substitution code. The oracle applies the
+    same rewrite in SQL, which makes the whole join path value-hash
+    checkable at driver time (it was previously pytest-only)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kg_covid_19_ray.pipelines.merge_kg import remap_node_identifier
+
+    nodes, edges = build_kg(sf_dir)
+
+    def add_xrefs(batch: pa.Table) -> pa.Table:
+        ids = batch["id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        alt = pc.binary_join_element_wise(
+            pa.array(["ALT"] * batch.num_rows), pc.cast(ids, pa.string()),
+            ":")
+        xr = pc.if_else(
+            pc.equal(batch["category"], "biolink:Publication"),
+            alt, pa.nulls(batch.num_rows, pa.string()))
+        return batch.append_column("xrefs", xr)
+
+    nodes = nodes.map_batches(add_xrefs, batch_format="pyarrow")
+    _nodes2, edges2 = remap_node_identifier(
+        nodes, edges, category="biolink:Publication",
+        alternative_property="xrefs", prefix="ALT", broadcast_max=0)
+    return edges2
+
+
 def q_kg_cooccur_stats(sf_dir: str):
     """Association-measure feature table for co-occurrence edge
     weighting: (subject, object, n_pair, df_subject, df_object,
@@ -486,4 +521,7 @@ REGISTRY["kg_cooccur_stats"] = (
     _with(_COOCCUR_STATS_SELECT.format(COOCCUR=_COOCCUR_SELECT)))
 REGISTRY["kg_edges_from_warc"] = (q_kg_edges_from_warc,
                                   _with(_EDGES_SELECT))
+REGISTRY["kg_remapped_edges"] = (
+    q_kg_remapped_edges,
+    _with(_EDGES_SELECT.replace("'WEB:' ||", "'ALT:WEB:' ||")))
 REGISTRY["kg_kcore"] = (q_kg_kcore, _with(", " + _kcore_sql()))

@@ -221,7 +221,9 @@ def _subst_column(rows: ray.data.Dataset, key_col: str,
 def remap_node_identifier(nodes: ray.data.Dataset,
                           edges: ray.data.Dataset, *,
                           category: str, alternative_property: str,
-                          prefix: str) -> tuple[ray.data.Dataset,
+                          prefix: str,
+                          broadcast_max: int | None = None
+                          ) -> tuple[ray.data.Dataset,
                                                 ray.data.Dataset]:
     """J3 (merge.yaml:42-47 / KGX remap_node_identifier): for nodes of
     ``category`` whose ``alternative_property`` (pipe-joined xrefs)
@@ -269,7 +271,9 @@ def remap_node_identifier(nodes: ray.data.Dataset,
         .materialize()
     n_pairs = pairs.count()
 
-    if n_pairs > _remap_broadcast_max():
+    if broadcast_max is None:
+        broadcast_max = _remap_broadcast_max()
+    if n_pairs > broadcast_max:
         # global min-new_id per old_id (blocks may disagree), then the
         # three bucketed substitutions; the map stays distributed
         from kg_covid_19_ray.stages.dedup import first_wins
