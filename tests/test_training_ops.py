@@ -120,6 +120,25 @@ def test_embedding_pair_topk_planted(ray_session, planted_dir):
             or out["cos"].round(6).is_monotonic_decreasing)
 
 
+def test_embedding_pair_topk_lsh_planted(ray_session, planted_dir):
+    """The LSH-candidate variant recalls the planted near-identical
+    pairs (they collide in nearly every table) and never reports a
+    pair the exact all-pairs scorer doesn't have — candidates are a
+    SUBSET, and scores are the same exact rounded cosine."""
+    exact = similarity.embedding_pair_topk(planted_dir).to_pandas()
+    lsh = similarity.embedding_pair_topk_lsh(planted_dir).to_pandas()
+    top = lsh.iloc[0]
+    assert (top["vec_a"], top["vec_b"]) in {(0, 1), (0, 2), (1, 2)}
+    assert top["cos"] >= 0.999
+    assert not lsh.duplicated(["vec_a", "vec_b"]).any()
+    exact_scores = {(r.vec_a, r.vec_b): r.cos for r in exact.itertuples()}
+    for r in lsh.itertuples():
+        # every reported pair exists in the exact ranking with the
+        # same rounded score wherever the exact cut kept it
+        if (r.vec_a, r.vec_b) in exact_scores:
+            assert abs(exact_scores[(r.vec_a, r.vec_b)] - r.cos) < 1e-9
+
+
 def test_langid_marker_tiebreak(ray_session, tmp_path):
     docs = pd.DataFrame({
         "doc_id": [0, 1, 2, 3],
