@@ -32,8 +32,30 @@ def _ensure_ray() -> None:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
 
+def _is_warc_dir(path: str) -> bool:
+    import glob
+    return os.path.isdir(path) and bool(
+        glob.glob(os.path.join(path, "*.warc"))
+        + glob.glob(os.path.join(path, "*.warc.gz")))
+
+
 def cmd_transform(args: argparse.Namespace) -> int:
     _ensure_ray()
+    if _is_warc_dir(args.input):
+        # crawl-dump ingestion: a directory of .warc[.gz] archives
+        # feeds the same extract -> detect -> dedup chain as Parquet
+        # pages (sources/warc; byte-faithful per the shared oracle)
+        from kg_covid_19_ray.pipelines.flagship import build_kg
+        from kg_covid_19_ray.sources.warc import read_warc
+        nodes, edges = build_kg(read_warc(args.input))
+        base = os.path.join(args.output_dir, "web_pages")
+        nodes.write_parquet(os.path.join(base, "nodes"))
+        edges.write_parquet(os.path.join(base, "edges"))
+        print(json.dumps({"web_pages": {
+            "nodes": os.path.join(base, "nodes"),
+            "edges": os.path.join(base, "edges"),
+            "input_format": "warc"}}, indent=2))
+        return 0
     if args.checkpoint_dir:
         # resumable flagship path: extraction goes through the
         # per-stage checkpoint (state/checkpoint.run_stage); a rerun

@@ -89,3 +89,27 @@ def test_second_precision_dates_and_missing_http_terminator():
     ], b"HTTP/1.1 200 OK")
     with pytest.raises(ValueError, match="no HTTP header terminator"):
         W.parse_warc(bad)
+
+
+def test_cli_transform_from_warc_dir(ray_session, tmp_path, capsys):
+    """`cli transform --input <warc dir>` auto-detects the crawl-dump
+    format and lands the same edge count as the Parquet path."""
+    import json
+
+    from kg_covid_19_ray import cli
+
+    sf = "/root/testdata/sf0.001"
+    dump = W.write_warc_fixture(sf, str(tmp_path / "dump"), num_files=4)
+    assert cli._is_warc_dir(dump) and not cli._is_warc_dir(sf)
+
+    p = cli.build_parser()
+    args = p.parse_args(["transform", "--input", dump,
+                         "--output-dir", str(tmp_path / "out")])
+    assert args.fn(args) == 0
+    out = json.loads(capsys.readouterr().out)["web_pages"]
+    assert out["input_format"] == "warc"
+
+    import ray.data
+    from kg_covid_19_ray.pipelines.flagship import build_kg
+    got = ray.data.read_parquet(out["edges"]).count()
+    assert got == build_kg(sf)[1].count()
