@@ -388,8 +388,95 @@ FROM documents
 """
 
 
+TFIDF_K = 3
+
+
+def tfidf_topterms(sf_dir: str) -> ray.data.Dataset:
+    """Per-document top-``TFIDF_K`` characteristic terms (keyword
+    extraction / doc characterization): score = tf * ln(N/df), rounded
+    half-away at 6dp BEFORE the per-doc cut so the (score desc, term)
+    total order is the oracle's (the similarity-suite rounding rule).
+
+    Dataflow: one explode+combine pass builds per-block document-
+    frequency partials (a doc lives wholly in one batch, so per-batch
+    (doc, token) distinct is globally exact); the summed df table is
+    vocabulary-bounded — the classic SMALL side — and is broadcast via
+    ``ray.put`` (at web scale vocab stays millions of rows ≪ corpus;
+    were it ever too large, the bucketed substitution used by
+    merge_kg._subst_column is the swap). Scoring is then one
+    streaming pass: per-batch C-level groupby for tf, map for df,
+    vectorized log, per-doc head(k)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "tok": batch["text"].fillna("").str.split(" "),
+        }).explode("tok").drop_duplicates()
+        cnt = e["tok"].value_counts()
+        return pd.DataFrame({"token": cnt.index.to_numpy(),
+                             "n": cnt.to_numpy(dtype=np.int64)})
+
+    df_rows = ds.map_batches(df_partial, batch_format="pandas") \
+        .groupby("token").aggregate(Sum("n", alias_name="n")).take_all()
+    df_map = {r["token"]: r["n"] for r in df_rows}
+    n_docs = float(ds.count())
+    df_ref = ray.put(df_map)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(df_ref)  # zero-copy local read after first call
+        e = pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "term": batch["text"].fillna("").str.split(" "),
+        }).explode("term")
+        g = e.groupby(["doc_id", "term"], sort=False) \
+             .size().rename("tf").reset_index()
+        df_col = g["term"].map(m).to_numpy(np.int64)
+        sc = _round_half_away(
+            g["tf"].to_numpy(np.int64) * np.log(n_docs / df_col), 6)
+        g = g.assign(df=df_col, score=sc)
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("doc_id", sort=False).head(TFIDF_K)
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(),
+            "term": out["term"].to_numpy(),
+            "tf": out["tf"].to_numpy(np.int64),
+            "df": out["df"].to_numpy(np.int64),
+            "score": out["score"].to_numpy(np.float64),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+TFIDF_TOPTERMS_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, tok
+    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+), tf AS (
+    SELECT doc_id, tok, count(*)::BIGINT AS tf
+    FROM tok GROUP BY doc_id, tok
+), dfreq AS (
+    SELECT tok, count(DISTINCT doc_id)::BIGINT AS df
+    FROM tok GROUP BY tok
+), n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT tf.doc_id, tf.tok AS term, tf.tf, dfreq.df,
+       round(tf.tf * ln((SELECT n FROM n) / dfreq.df), 6) AS score
+FROM tf JOIN dfreq ON dfreq.tok = tf.tok
+QUALIFY row_number() OVER (
+    PARTITION BY tf.doc_id
+    ORDER BY round(tf.tf * ln((SELECT n FROM n) / dfreq.df), 6) DESC,
+             tf.tok) <= {TFIDF_K}
+"""
+
+
 REGISTRY = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
+    "text_tfidf_topterms": (tfidf_topterms, TFIDF_TOPTERMS_SQL),
     "text_token_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": (md5_fingerprints, MD5_FINGERPRINTS_SQL),
