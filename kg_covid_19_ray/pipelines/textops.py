@@ -474,9 +474,90 @@ QUALIFY row_number() OVER (
 """
 
 
+DECON_NGRAM = 5
+DECON_BENCH_DOCS = 10  # stand-in eval set: the first N doc_ids
+
+
+def _doc_ngrams(batch: pd.DataFrame, n: int) -> pd.DataFrame:
+    """-> (doc_id, g): every length-``n`` token window per doc,
+    duplicates kept (positions, not a set). Fully vectorized: explode
+    tokens, then shift-and-concat with run-boundary masking (no
+    per-doc Python loop)."""
+    e = pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "tok": batch["text"].fillna("").str.split(" "),
+    }).explode("tok").reset_index(drop=True)
+    g = e["tok"].astype(str)
+    ok = pd.Series(True, index=e.index)
+    for k in range(1, n):
+        g = g + " " + e["tok"].shift(-k).astype(str)
+        ok &= e["doc_id"].shift(-k).to_numpy() == e["doc_id"].to_numpy()
+    return pd.DataFrame({"doc_id": e["doc_id"].to_numpy(),
+                         "g": g.to_numpy()})[ok.to_numpy()]
+
+
+def text_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark DECONTAMINATION: per doc, how many of its
+    ``DECON_NGRAM``-token windows appear in the benchmark set's
+    n-grams (the GPT-3/Llama-style eval-overlap check; a training
+    pipeline drops or scrubs docs with hits). The stand-in benchmark
+    is the first ``DECON_BENCH_DOCS`` documents — deterministic and
+    SQL-reproducible; a real eval set slots in as the same small
+    side. Benchmark n-grams are corpus-tiny by construction and
+    broadcast via ``ray.put``; the corpus pass is one streaming
+    vectorized window scan (no joins, no shuffle). Output: one
+    (doc_id, n_hits) row per document (benchmark docs self-hit)."""
+    import ray
+
+    import pyarrow.dataset as pads
+    bench_tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < DECON_BENCH_DOCS)
+    bench_grams = frozenset(
+        _doc_ngrams(bench_tbl.to_pandas(), DECON_NGRAM)["g"])
+    bench_ref = ray.put(bench_grams)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def hits(batch: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(bench_ref)
+        grams = _doc_ngrams(batch, DECON_NGRAM)
+        hit = grams[grams["g"].isin(bench)]
+        n = hit.groupby("doc_id", sort=False).size()
+        out = n.reindex(batch["doc_id"], fill_value=0)
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
+                             "n_hits": out.to_numpy(np.int64)})
+
+    return ds.map_batches(hits, batch_format="pandas")
+
+
+TEXT_DECONTAMINATE_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), pos AS (
+    SELECT doc_id, ts, unnest(range(len(ts) - {DECON_NGRAM - 1})) AS i
+    FROM docs WHERE len(ts) >= {DECON_NGRAM}
+), grams AS (
+    SELECT doc_id,
+           ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' ||
+           ts[i+4] || ' ' || ts[i+5] AS g
+    FROM pos
+), bench AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id < {DECON_BENCH_DOCS}
+), hit AS (
+    SELECT grams.doc_id, count(*)::BIGINT AS n_hits
+    FROM grams JOIN bench USING (g) GROUP BY grams.doc_id
+)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits
+FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+"""
+
+
 REGISTRY = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_tfidf_topterms": (tfidf_topterms, TFIDF_TOPTERMS_SQL),
+    "text_decontaminate": (text_decontaminate, TEXT_DECONTAMINATE_SQL),
     "text_token_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": (md5_fingerprints, MD5_FINGERPRINTS_SQL),
