@@ -35,7 +35,8 @@ PIPELINE_MODULES = ("relational_queries", "textops", "dedup_ops",
 VERIFY_FIRST = (
     # new/changed in round 4
     "holdout_connected", "dedup_embedding_lsh", "embedding_pair_topk_lsh",
-    "text_tfidf_topterms", "text_decontaminate", "kg_edges_from_warc", "kg_remapped_edges",
+    "text_tfidf_topterms", "text_decontaminate", "text_lm_surprisal",
+    "kg_edges_from_warc", "kg_remapped_edges",
     "ann_ivf_join",
     "ann_ivf", "ann_ivf_kmeans", "kg_cooccurrence", "kg_cooccur_stats",
     "kg_triangles", "kg_node_triangles", "kg_incr_edges", "kg_incr_nodes",

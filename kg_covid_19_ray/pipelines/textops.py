@@ -554,10 +554,78 @@ FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
 """
 
 
+def text_lm_surprisal(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style unigram-LM quality score: per document, the summed
+    token surprisal ``sum(ln(T / n_tok))`` under the corpus's own
+    unigram model (high = rare-token-heavy = candidate junk; a real
+    KenLM slots in as the same broadcast side table). EXACT int64
+    fixed-point: each token's surprisal is rounded half-away to
+    micro-nats ONCE, then summed with integer addition — associative
+    and order-independent, so the result is bit-identical under any
+    partitioning and the DuckDB oracle can value-hash it (a float
+    mean would diverge in the last ulp per summation order — the
+    pagerank arithmetic rule applied to LM scoring).
+
+    Dataflow: one explode+combine pass for corpus token counts
+    (vocabulary-bounded -> driver -> ``ray.put``), then one streaming
+    scoring pass (C-level map + groupby per batch)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = batch["text"].fillna("").str.split(" ") \
+            .explode().value_counts()
+        return pd.DataFrame({"token": counts.index.to_numpy(),
+                             "n": counts.to_numpy(dtype=np.int64)})
+
+    freq = ds.map_batches(tok_partial, batch_format="pandas") \
+        .groupby("token").aggregate(Sum("n", alias_name="n")).take_all()
+    total = float(sum(r["n"] for r in freq))
+    surp = {r["token"]: int(np.floor(
+        np.log(total / r["n"]) * 1e6 + 0.5)) for r in freq}
+    surp_ref = ray.put(surp)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(surp_ref)
+        e = pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "tok": batch["text"].fillna("").str.split(" "),
+        }).explode("tok")
+        e["s"] = e["tok"].map(m).astype(np.int64)
+        g = e.groupby("doc_id", sort=False)["s"].agg(["count", "sum"])
+        g = g.reindex(batch["doc_id"])
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "n_tokens": g["count"].to_numpy(np.int64),
+            "surprisal_fp": g["sum"].to_numpy(np.int64),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+TEXT_LM_SURPRISAL_SQL = """
+WITH tok AS (
+    SELECT doc_id, tok
+    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+), freq AS (
+    SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY tok
+), tot AS (SELECT count(*)::DOUBLE AS t FROM tok)
+SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(round(ln((SELECT t FROM tot) / freq.n) * 1e6)::BIGINT)::BIGINT
+           AS surprisal_fp
+FROM tok JOIN freq USING (tok)
+GROUP BY tok.doc_id
+"""
+
+
 REGISTRY = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_tfidf_topterms": (tfidf_topterms, TFIDF_TOPTERMS_SQL),
     "text_decontaminate": (text_decontaminate, TEXT_DECONTAMINATE_SQL),
+    "text_lm_surprisal": (text_lm_surprisal, TEXT_LM_SURPRISAL_SQL),
     "text_token_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "text_langid": (text_langid, TEXT_LANGID_SQL),
     "text_fingerprint": (md5_fingerprints, MD5_FINGERPRINTS_SQL),
