@@ -155,6 +155,63 @@ def test_langid_marker_tiebreak(ray_session, tmp_path):
     assert out[2] == "und" and out[3] == "en"
 
 
+def test_tfidf_topterms_hand_computed(ray_session, tmp_path):
+    """3 docs, tiny vocab: 'rare' appears only in doc 0, so it must be
+    doc 0's top term; a corpus-universal token has idf=ln(1)=0."""
+    import numpy as np
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["rare common common", "common common x", "common x x"],
+        "lang": "x", "source": "s0", "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = textops.tfidf_topterms(str(tmp_path)).to_pandas()
+    d0 = out[out["doc_id"] == 0].sort_values("score", ascending=False)
+    assert d0.iloc[0]["term"] == "rare"
+    assert abs(d0.iloc[0]["score"] - round(np.log(3 / 1), 6)) < 1e-6
+    common = out[(out["doc_id"] == 0) & (out["term"] == "common")]
+    assert common.iloc[0]["score"] == 0.0  # df == N -> idf 0
+    assert (out.groupby("doc_id").size() <= textops.TFIDF_K).all()
+
+
+def test_decontaminate_hand_computed(ray_session, tmp_path):
+    """Doc sharing a 5-gram window with a benchmark doc is flagged
+    with the exact position count; short docs produce no windows."""
+    bench_text = "a b c d e f"              # grams: 'a b c d e', 'b c d e f'
+    docs = pd.DataFrame({
+        "doc_id": [0, 20, 21, 22],
+        "text": [bench_text,
+                 "x a b c d e f y",          # contains BOTH bench grams
+                 "a b c d x e",              # no shared 5-gram
+                 "a b"],                     # too short for any window
+        "lang": "x", "source": "s0", "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = textops.text_decontaminate(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")["n_hits"]
+    assert out[0] == 2       # benchmark doc self-hits its own 2 grams
+    assert out[20] == 2
+    assert out[21] == 0 and out[22] == 0
+
+
+def test_lm_surprisal_hand_computed(ray_session, tmp_path):
+    """Exact micro-nat arithmetic: surprisal of token t = round-half-
+    away(ln(T/n_t) * 1e6) summed per doc as int64."""
+    import numpy as np
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a a b", "b b c"],  # T=6; n_a=2, n_b=3, n_c=1
+        "lang": "x", "source": "s0", "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = textops.text_lm_surprisal(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")
+    fp = lambda n: int(np.floor(np.log(6 / n) * 1e6 + 0.5))
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "surprisal_fp"] == 2 * fp(2) + fp(3)
+    assert out.loc[1, "surprisal_fp"] == 2 * fp(3) + fp(1)
+
+
 def test_minhash_join_verification_equivalent(ray_session, planted_dir):
     """The web-scale join-based verification produces exactly the
     broadcast path's pairs."""
