@@ -343,6 +343,15 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
                   lambda: exact_dedup(big_root).count(), reps=1)
             timed("text_clean_big",
                   lambda: clean_corpus(big_root).count(), reps=1)
+            # round-4 quality/decontamination ops at 1M docs: the
+            # benchmark-gram window scan and the unigram-surprisal
+            # score (freq side table built from the corpus itself)
+            from kg_covid_19_ray.pipelines.textops import (
+                text_decontaminate, text_lm_surprisal)
+            timed("text_decon_big",
+                  lambda: text_decontaminate(big_root).count(), reps=1)
+            timed("text_surprisal_big",
+                  lambda: text_lm_surprisal(big_root).count(), reps=1)
             # join-based verification: the web-scale path (no driver
             # holds the corpus; candidates hash-join against documents)
             timed("dedup_minhash_big",

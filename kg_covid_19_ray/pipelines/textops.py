@@ -391,6 +391,31 @@ FROM documents
 TFIDF_K = 3
 
 
+def _sum_token_counts(partials: ray.data.Dataset,
+                      num_buckets: int = 64) -> ray.data.Dataset:
+    """Sum per-block (token, n) partials into global counts with a
+    hash-bucket exchange + ONE pyarrow group_by per bucket. Real
+    corpora have million-token vocabularies (every typo/id is a
+    token), where Ray's ``groupby().aggregate(Sum)`` pays per-GROUP
+    Python — measured minutes vs seconds on the 1M-doc bench corpus
+    (the NOTES.md reduce rule)."""
+
+    def bucketed(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["token"],
+                                       index=False).to_numpy()
+        return batch.assign(
+            __bucket=(h % np.uint64(num_buckets)).astype(np.int64))
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["token"], use_threads=False) \
+            .aggregate([("n", "sum")])
+        return pa.table({"token": agg["token"], "n": agg["n_sum"]})
+
+    return partials.map_batches(bucketed, batch_format="pandas") \
+        .groupby("__bucket").map_groups(reduce_bucket,
+                                        batch_format="pyarrow")
+
+
 def tfidf_topterms(sf_dir: str) -> ray.data.Dataset:
     """Per-document top-``TFIDF_K`` characteristic terms (keyword
     extraction / doc characterization): score = tf * ln(N/df), rounded
@@ -407,7 +432,6 @@ def tfidf_topterms(sf_dir: str) -> ray.data.Dataset:
     streaming pass: per-batch C-level groupby for tf, map for df,
     vectorized log, per-doc head(k)."""
     import ray
-    from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
@@ -421,8 +445,8 @@ def tfidf_topterms(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame({"token": cnt.index.to_numpy(),
                              "n": cnt.to_numpy(dtype=np.int64)})
 
-    df_rows = ds.map_batches(df_partial, batch_format="pandas") \
-        .groupby("token").aggregate(Sum("n", alias_name="n")).take_all()
+    df_rows = _sum_token_counts(
+        ds.map_batches(df_partial, batch_format="pandas")).take_all()
     df_map = {r["token"]: r["n"] for r in df_rows}
     n_docs = float(ds.count())
     df_ref = ray.put(df_map)
@@ -567,10 +591,13 @@ def text_lm_surprisal(sf_dir: str) -> ray.data.Dataset:
     pagerank arithmetic rule applied to LM scoring).
 
     Dataflow: one explode+combine pass for corpus token counts
-    (vocabulary-bounded -> driver -> ``ray.put``), then one streaming
-    scoring pass (C-level map + groupby per batch)."""
+    (bucketed pyarrow reduce — the bench corpus has a 1M-token
+    vocabulary), collected to the driver and broadcast via ``ray.put``
+    (~50MB per 1M tokens; past worker-heap size, the swap is the
+    merge_kg bucketed substitution with per-token surprisal as the
+    mapped value), then one streaming scoring pass (C-level map +
+    groupby per batch)."""
     import ray
-    from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
@@ -581,8 +608,8 @@ def text_lm_surprisal(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame({"token": counts.index.to_numpy(),
                              "n": counts.to_numpy(dtype=np.int64)})
 
-    freq = ds.map_batches(tok_partial, batch_format="pandas") \
-        .groupby("token").aggregate(Sum("n", alias_name="n")).take_all()
+    freq = _sum_token_counts(
+        ds.map_batches(tok_partial, batch_format="pandas")).take_all()
     total = float(sum(r["n"] for r in freq))
     surp = {r["token"]: int(np.floor(
         np.log(total / r["n"]) * 1e6 + 0.5)) for r in freq}
