@@ -578,7 +578,90 @@ FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
 """
 
 
-def text_lm_surprisal(sf_dir: str) -> ray.data.Dataset:
+# Above this many distinct tokens the unigram table no longer belongs
+# in every worker's heap: text_lm_surprisal switches from the ray.put
+# broadcast to two bucketed exchanges (token-keyed attach, doc-keyed
+# re-reduce). Overridable for tests.
+SURPRISAL_BROADCAST_MAX = 4_000_000
+
+
+def _lm_surprisal_join(ds: ray.data.Dataset,
+                       freq: ray.data.Dataset, total: float,
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """The larger-than-heap plan: exploded (doc_id, token) rows meet
+    the unigram table in token-hash buckets (the merge_kg._subst
+    bucketed-merge shape — never Dataset.join); each bucket attaches
+    the per-token micro-nat surprisal and pre-sums per doc (combiner),
+    then one doc-keyed exchange finishes the exact int64 reduce.
+    Value-identical to the broadcast plan (same per-token rounding,
+    integer sums)."""
+
+    def route_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "tok": batch["text"].fillna("").str.split(" "),
+        }).explode("tok")
+        h = pd.util.hash_pandas_object(e["tok"], index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": e["doc_id"].to_numpy(np.int64),
+            "tok": e["tok"].to_numpy(),
+            "n": np.zeros(len(e), np.int64),
+            "kind": np.full(len(e), "t"),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def route_freq(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["token"],
+                                       index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": np.zeros(len(batch), np.int64),
+            "tok": batch["token"].to_numpy(),
+            "n": batch["n"].to_numpy(np.int64),
+            "kind": np.full(len(batch), "f"),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["kind"] == "f"]
+        s = pd.Series(
+            np.floor(np.log(total / f["n"].to_numpy(np.int64))
+                     * 1e6 + 0.5).astype(np.int64),
+            index=f["tok"])
+        t = g[g["kind"] == "t"]
+        per_tok = t["tok"].map(s).to_numpy(np.int64)
+        part = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(),
+                             "s": per_tok}) \
+            .groupby("doc_id", sort=False)["s"].agg(["count", "sum"]) \
+            .reset_index()
+        h = pd.util.hash_pandas_object(part["doc_id"],
+                                       index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": part["doc_id"].to_numpy(np.int64),
+            "cnt": part["count"].to_numpy(np.int64),
+            "s": part["sum"].to_numpy(np.int64),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False)[["cnt", "s"]].sum() \
+            .reset_index()
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "n_tokens": out["cnt"].to_numpy(np.int64),
+            "surprisal_fp": out["s"].to_numpy(np.int64),
+        })
+
+    both = ds.map_batches(route_tokens, batch_format="pandas").union(
+        freq.map_batches(route_freq, batch_format="pandas"))
+    partials = both.groupby("__bucket").map_groups(
+        attach, batch_format="pandas")
+    return partials.groupby("__bucket").map_groups(
+        finish, batch_format="pandas")
+
+
+def text_lm_surprisal(sf_dir: str,
+                      broadcast_max: int | None = None
+                      ) -> ray.data.Dataset:
     """CCNet-style unigram-LM quality score: per document, the summed
     token surprisal ``sum(ln(T / n_tok))`` under the corpus's own
     unigram model (high = rare-token-heavy = candidate junk; a real
@@ -590,13 +673,14 @@ def text_lm_surprisal(sf_dir: str) -> ray.data.Dataset:
     mean would diverge in the last ulp per summation order — the
     pagerank arithmetic rule applied to LM scoring).
 
-    Dataflow: one explode+combine pass for corpus token counts
-    (bucketed pyarrow reduce — the bench corpus has a 1M-token
-    vocabulary), collected to the driver and broadcast via ``ray.put``
-    (~50MB per 1M tokens; past worker-heap size, the swap is the
-    merge_kg bucketed substitution with per-token surprisal as the
-    mapped value), then one streaming scoring pass (C-level map +
-    groupby per batch)."""
+    Two physical plans behind one semantic (the remap_node_identifier
+    pattern — web vocab is NOT bounded, every id/typo is a token):
+    unigram tables up to ``broadcast_max`` distinct tokens are
+    collected and broadcast via ``ray.put`` (~50MB per 1M tokens), and
+    scoring is one streaming pass; larger tables stay distributed and
+    score through two bucketed exchanges (``_lm_surprisal_join``).
+    Both paths share the exact-int arithmetic, so they are
+    value-identical (pinned by test_lm_surprisal_join_plan_matches)."""
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -608,9 +692,22 @@ def text_lm_surprisal(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame({"token": counts.index.to_numpy(),
                              "n": counts.to_numpy(dtype=np.int64)})
 
-    freq = _sum_token_counts(
-        ds.map_batches(tok_partial, batch_format="pandas")).take_all()
-    total = float(sum(r["n"] for r in freq))
+    freq_ds = _sum_token_counts(
+        ds.map_batches(tok_partial, batch_format="pandas")).materialize()
+    totals = freq_ds.map_batches(
+        lambda b: pd.DataFrame({"t": [int(b["n"].sum())]}),
+        batch_format="pandas").take_all()
+    total = float(sum(r["t"] for r in totals))
+
+    if broadcast_max is None:
+        import os
+        broadcast_max = int(os.environ.get(
+            "KG_RAY_SURPRISAL_BROADCAST_MAX",
+            str(SURPRISAL_BROADCAST_MAX)))
+    if freq_ds.count() > broadcast_max:
+        return _lm_surprisal_join(ds, freq_ds, total)
+
+    freq = freq_ds.take_all()
     surp = {r["token"]: int(np.floor(
         np.log(total / r["n"]) * 1e6 + 0.5)) for r in freq}
     surp_ref = ray.put(surp)
