@@ -416,21 +416,87 @@ def _sum_token_counts(partials: ray.data.Dataset,
                                         batch_format="pyarrow")
 
 
-def tfidf_topterms(sf_dir: str) -> ray.data.Dataset:
+def _tfidf_join(ds: ray.data.Dataset, freq: ray.data.Dataset,
+                n_docs: float,
+                num_buckets: int = 64) -> ray.data.Dataset:
+    """tfidf's larger-than-heap plan: per-batch (doc, term, tf)
+    combiners meet the df table in token-hash buckets, scores are
+    computed in-bucket, and one doc-keyed exchange takes the per-doc
+    top-k (union-safe: the cut order is the rounded total order)."""
+
+    def route_tf(batch: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "term": batch["text"].fillna("").str.split(" "),
+        }).explode("term")
+        g = e.groupby(["doc_id", "term"], sort=False) \
+             .size().rename("tf").reset_index()
+        h = pd.util.hash_pandas_object(g["term"], index=False).to_numpy()
+        return g.assign(
+            n=np.zeros(len(g), np.int64), kind="t",
+            __bucket=(h % np.uint64(num_buckets)).astype(np.int64))
+
+    def route_freq(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["token"],
+                                       index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": np.zeros(len(batch), np.int64),
+            "term": batch["token"].to_numpy(),
+            "tf": np.zeros(len(batch), np.int64),
+            "n": batch["n"].to_numpy(np.int64),
+            "kind": np.full(len(batch), "f"),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["kind"] == "f"]
+        dfs = pd.Series(f["n"].to_numpy(np.int64), index=f["term"])
+        t = g[g["kind"] == "t"]
+        df_col = t["term"].map(dfs).to_numpy(np.int64)
+        sc = _round_half_away(
+            t["tf"].to_numpy(np.int64) * np.log(n_docs / df_col), 6)
+        h = pd.util.hash_pandas_object(t["doc_id"],
+                                       index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(np.int64),
+            "term": t["term"].to_numpy(),
+            "tf": t["tf"].to_numpy(np.int64),
+            "df": df_col, "score": sc,
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        out = g.groupby("doc_id", sort=False).head(TFIDF_K)
+        return out[["doc_id", "term", "tf", "df", "score"]] \
+            .reset_index(drop=True)
+
+    both = ds.map_batches(route_tf, batch_format="pandas").union(
+        freq.map_batches(route_freq, batch_format="pandas"))
+    scored = both.groupby("__bucket").map_groups(
+        attach, batch_format="pandas")
+    return scored.groupby("__bucket").map_groups(
+        topk, batch_format="pandas")
+
+
+def tfidf_topterms(sf_dir: str,
+                   broadcast_max: int | None = None) -> ray.data.Dataset:
     """Per-document top-``TFIDF_K`` characteristic terms (keyword
     extraction / doc characterization): score = tf * ln(N/df), rounded
     half-away at 6dp BEFORE the per-doc cut so the (score desc, term)
     total order is the oracle's (the similarity-suite rounding rule).
 
-    Dataflow: one explode+combine pass builds per-block document-
-    frequency partials (a doc lives wholly in one batch, so per-batch
-    (doc, token) distinct is globally exact); the summed df table is
-    vocabulary-bounded — the classic SMALL side — and is broadcast via
-    ``ray.put`` (at web scale vocab stays millions of rows ≪ corpus;
-    were it ever too large, the bucketed substitution used by
-    merge_kg._subst_column is the swap). Scoring is then one
-    streaming pass: per-batch C-level groupby for tf, map for df,
-    vectorized log, per-doc head(k)."""
+    One explode+combine pass builds per-block document-frequency
+    partials (a doc lives wholly in one batch, so per-batch
+    (doc, token) distinct is globally exact), summed by the bucketed
+    pyarrow reduce. Two physical plans behind one semantic (web vocab
+    is NOT bounded): df tables up to ``broadcast_max`` tokens are
+    broadcast via ``ray.put`` and scoring is one streaming pass;
+    larger tables stay distributed through the two bucketed exchanges
+    of ``_tfidf_join`` (value-identical; plan-parity pinned in
+    tests)."""
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -445,10 +511,19 @@ def tfidf_topterms(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame({"token": cnt.index.to_numpy(),
                              "n": cnt.to_numpy(dtype=np.int64)})
 
-    df_rows = _sum_token_counts(
-        ds.map_batches(df_partial, batch_format="pandas")).take_all()
-    df_map = {r["token"]: r["n"] for r in df_rows}
+    freq_ds = _sum_token_counts(
+        ds.map_batches(df_partial, batch_format="pandas")).materialize()
     n_docs = float(ds.count())
+
+    if broadcast_max is None:
+        import os
+        broadcast_max = int(os.environ.get(
+            "KG_RAY_SURPRISAL_BROADCAST_MAX",
+            str(SURPRISAL_BROADCAST_MAX)))
+    if freq_ds.count() > broadcast_max:
+        return _tfidf_join(ds, freq_ds, n_docs)
+
+    df_map = {r["token"]: r["n"] for r in freq_ds.take_all()}
     df_ref = ray.put(df_map)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:

@@ -212,6 +212,25 @@ def test_lm_surprisal_hand_computed(ray_session, tmp_path):
     assert out.loc[1, "surprisal_fp"] == 2 * fp(3) + fp(1)
 
 
+def test_tfidf_join_plan_matches(ray_session, tmp_path):
+    """broadcast_max=0 forces tfidf's bucketed-join plan; the rounded
+    score and the per-doc cut order are shared, so the plans are
+    value-identical."""
+    docs = pd.DataFrame({
+        "doc_id": range(20),
+        "text": [f"tok{i} tok{i % 3} common common x{i % 7}"
+                 for i in range(20)],
+        "lang": "x", "source": "s0", "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    key = ["doc_id", "term"]
+    a = textops.tfidf_topterms(str(tmp_path)).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = textops.tfidf_topterms(str(tmp_path), broadcast_max=0) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 def test_lm_surprisal_join_plan_matches(ray_session, tmp_path):
     """broadcast_max=0 forces the bucketed-join plan (the
     larger-than-heap vocabulary path); exact-int arithmetic makes it
