@@ -391,6 +391,41 @@ FROM documents
 TFIDF_K = 3
 
 
+def _broadcast_token_values(tokens, values: np.ndarray):
+    """Broadcast a token -> int64 side table. A Python dict in the
+    object store is re-DESERIALIZED by every map task (pickle has no
+    zero-copy path for dicts — seconds per task at 10^6 entries), so
+    when the 64-bit token hashes are collision-free (checked here,
+    deterministically per corpus) the table ships as two primitive
+    numpy arrays instead — those ARE zero-copy reads from shared
+    memory. Falls back to the dict on a hash collision."""
+    import ray
+
+    h = pd.util.hash_pandas_object(pd.Series(tokens),
+                                   index=False).to_numpy()
+    order = np.argsort(h)
+    hs = h[order]
+    if len(hs) == 0 or bool((hs[1:] != hs[:-1]).all()):
+        return ray.put(("hash", hs,
+                        np.asarray(values, np.int64)[order]))
+    return ray.put(("dict", dict(zip(tokens, np.asarray(values))), None))
+
+
+def _lookup_token_values(table, tok: pd.Series) -> np.ndarray:
+    """Vectorized lookup against a `_broadcast_token_values` table.
+    Every queried token must exist (the tables are built from the same
+    corpus); a miss raises rather than mis-mapping."""
+    kind, a, b = table
+    if kind == "dict":
+        return tok.map(a).to_numpy(np.int64)
+    th = pd.util.hash_pandas_object(tok, index=False).to_numpy()
+    idx = np.searchsorted(a, th)
+    idx = np.minimum(idx, len(a) - 1)
+    if not (a[idx] == th).all():
+        raise KeyError("token absent from broadcast side table")
+    return b[idx]
+
+
 def _sum_token_counts(partials: ray.data.Dataset,
                       num_buckets: int = 64) -> ray.data.Dataset:
     """Sum per-block (token, n) partials into global counts with a
@@ -523,18 +558,21 @@ def tfidf_topterms(sf_dir: str,
     if freq_ds.count() > broadcast_max:
         return _tfidf_join(ds, freq_ds, n_docs)
 
-    df_map = {r["token"]: r["n"] for r in freq_ds.take_all()}
-    df_ref = ray.put(df_map)
+    df_rows = freq_ds.take_all()
+    df_ref = _broadcast_token_values(
+        [r["token"] for r in df_rows],
+        np.fromiter((r["n"] for r in df_rows), np.int64,
+                    count=len(df_rows)))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(df_ref)  # zero-copy local read after first call
+        m = ray.get(df_ref)  # zero-copy shared-memory read (numeric)
         e = pd.DataFrame({
             "doc_id": batch["doc_id"],
             "term": batch["text"].fillna("").str.split(" "),
         }).explode("term")
         g = e.groupby(["doc_id", "term"], sort=False) \
              .size().rename("tf").reset_index()
-        df_col = g["term"].map(m).to_numpy(np.int64)
+        df_col = _lookup_token_values(m, g["term"])
         sc = _round_half_away(
             g["tf"].to_numpy(np.int64) * np.log(n_docs / df_col), 6)
         g = g.assign(df=df_col, score=sc)
@@ -783,9 +821,11 @@ def text_lm_surprisal(sf_dir: str,
         return _lm_surprisal_join(ds, freq_ds, total)
 
     freq = freq_ds.take_all()
-    surp = {r["token"]: int(np.floor(
-        np.log(total / r["n"]) * 1e6 + 0.5)) for r in freq}
-    surp_ref = ray.put(surp)
+    counts = np.fromiter((r["n"] for r in freq), np.int64,
+                         count=len(freq))
+    surp_ref = _broadcast_token_values(
+        [r["token"] for r in freq],
+        np.floor(np.log(total / counts) * 1e6 + 0.5).astype(np.int64))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(surp_ref)
@@ -793,7 +833,7 @@ def text_lm_surprisal(sf_dir: str,
             "doc_id": batch["doc_id"],
             "tok": batch["text"].fillna("").str.split(" "),
         }).explode("tok")
-        e["s"] = e["tok"].map(m).astype(np.int64)
+        e["s"] = _lookup_token_values(m, e["tok"])
         g = e.groupby("doc_id", sort=False)["s"].agg(["count", "sum"])
         g = g.reindex(batch["doc_id"])
         return pd.DataFrame({
