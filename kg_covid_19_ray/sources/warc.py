@@ -128,17 +128,37 @@ def write_warc_dataset(pages: ray.data.Dataset, out_dir: str, *,
         make_warc_datasink(out_dir, gzip_members=gzip_members))
 
 
-def parse_warc(data: bytes) -> list[dict]:
+def parse_warc(data: bytes, *,
+               on_error: str = "raise") -> list[dict]:
     """-> [{url, warc_ts: datetime, html: bytes, lang}] for every
     ``response`` record; other record types (warcinfo, request,
-    metadata) are skipped. Strict Content-Length walk; malformed
-    framing raises ValueError with the byte offset."""
+    metadata) are skipped. Strict Content-Length walk.
+
+    ``on_error``: ``"raise"`` (default — malformed content raises
+    ValueError with the byte offset) or ``"skip"`` (crawl-scale
+    salvage: a record whose PAYLOAD is malformed is dropped and the
+    walk continues to the next well-framed record; once the FRAMING
+    itself is lost — not a WARC header, bad Content-Length — the rest
+    of the file is unrecoverable and parsing stops with whatever was
+    salvaged)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error={on_error!r}")
+
+    def fail(msg: str) -> bool:
+        if on_error == "raise":
+            raise ValueError(msg)
+        return True
+
     if data[:2] == b"\x1f\x8b":
         # multi-member stream: GzipFile streams members in chunks
         # (O(n)); gzip.decompress re-slices unused_data per member —
         # QUADRATIC on per-record-member archives (measured 11.9s vs
         # 0.2s on a 15.6k-member 6MB file)
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        try:
+            data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
+        except (OSError, EOFError):
+            if fail("corrupt gzip stream"):
+                return []
     rows: list[dict] = []
     pos = 0
     n = len(data)
@@ -148,37 +168,49 @@ def parse_warc(data: bytes) -> list[dict]:
         if pos >= n:
             break
         if not data.startswith(b"WARC/", pos):
-            raise ValueError(f"not a WARC record at byte {pos}")
+            if fail(f"not a WARC record at byte {pos}"):
+                break  # framing lost: nothing past here is walkable
         head_end = data.find(b"\r\n\r\n", pos)
         if head_end < 0:
-            raise ValueError(f"unterminated WARC header at byte {pos}")
+            if fail(f"unterminated WARC header at byte {pos}"):
+                break
         headers: dict[str, str] = {}
         for line in data[pos:head_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower().decode()] = v.strip().decode()
-        length = int(headers["content-length"])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            if fail(f"missing/invalid Content-Length at byte {pos}"):
+                break
         body_start = head_end + 4
         payload = data[body_start:body_start + length]
         if len(payload) != length:
-            raise ValueError(f"truncated record at byte {pos}")
+            if fail(f"truncated record at byte {pos}"):
+                break
         pos = body_start + length
         if headers.get("warc-type") != "response":
             continue
         http_split = payload.find(b"\r\n\r\n")
         if http_split < 0:
-            raise ValueError(
-                f"response record at byte {body_start} has no HTTP "
-                f"header terminator")
+            if fail(f"response record at byte {body_start} has no HTTP "
+                    f"header terminator"):
+                continue  # record well-framed, payload bad: skip it
         http_headers: dict[str, str] = {}
         for line in payload[:http_split].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             http_headers[k.strip().lower().decode()] = v.strip().decode()
-        rows.append({
-            "url": headers["warc-target-uri"],
-            "warc_ts": _parse_warc_date(headers["warc-date"]),
-            "html": payload[http_split + 4:],
-            "lang": http_headers.get("content-language", ""),
-        })
+        try:
+            row = {
+                "url": headers["warc-target-uri"],
+                "warc_ts": _parse_warc_date(headers["warc-date"]),
+                "html": payload[http_split + 4:],
+                "lang": http_headers.get("content-language", ""),
+            }
+        except (KeyError, ValueError):
+            if fail(f"malformed response headers at byte {pos}"):
+                continue
+        rows.append(row)
     return rows
 
 
@@ -203,7 +235,8 @@ def _pages_table(rows: list[dict]) -> pa.Table:
     })
 
 
-def read_warc(paths: str | list[str]) -> ray.data.Dataset:
+def read_warc(paths: str | list[str], *,
+              on_error: str = "raise") -> ray.data.Dataset:
     """WARC file(s)/dir -> Dataset(url, warc_ts:timestamp[us],
     html:binary, lang) — schema-identical to the Parquet pages path.
     A directory resolves to its ``*.warc[.gz]`` members (markers and
@@ -236,7 +269,20 @@ def read_warc(paths: str | list[str]) -> ray.data.Dataset:
                 open_stream_args={"compression": None})
 
         def _read_stream(self, f, path: str):
-            yield _pages_table(parse_warc(f.readall()))
+            # NOTE: this Ray version detect-decompresses .gz at the
+            # pyarrow layer regardless of open_stream_args (its
+            # C-level inflate handles our concatenated members), so
+            # readall() may return either raw member-gzip bytes or
+            # WARC text — parse_warc handles both, and a corrupt
+            # stream can surface HERE as OSError
+            try:
+                data = f.readall()
+            except (OSError, EOFError):
+                if on_error == "raise":
+                    raise
+                yield _pages_table([])
+                return
+            yield _pages_table(parse_warc(data, on_error=on_error))
 
     # one task per file: archives are a few MB, so size-based packing
     # would batch many files into few tasks and starve the CPUs

@@ -113,3 +113,49 @@ def test_cli_transform_from_warc_dir(ray_session, tmp_path, capsys):
     from kg_covid_19_ray.pipelines.flagship import build_kg
     got = ray.data.read_parquet(out["edges"]).count()
     assert got == build_kg(sf)[1].count()
+
+
+def test_on_error_skip_salvages_well_framed_records(ray_session, tmp_path):
+    """Crawl-scale salvage: a record with a malformed HTTP payload is
+    dropped and parsing continues; once framing is lost the rest of
+    the file is abandoned with earlier records kept; a corrupt gzip
+    file yields zero rows instead of killing the job."""
+    import gzip as _gz
+
+    good = W._warc_record("response", [
+        ("WARC-Target-URI", PAGES[0]["url"]),
+        ("WARC-Date", PAGES[0]["warc_ts"].strftime("%Y-%m-%dT%H:%M:%S.%fZ")),
+        ("Content-Type", "application/http;msgtype=response"),
+    ], b"HTTP/1.1 200 OK\r\nContent-Language: en\r\n\r\n<html>ok</html>")
+    bad_payload = W._warc_record("response", [
+        ("WARC-Target-URI", "https://bad.example/x"),
+        ("WARC-Date", "2026-01-01T00:00:00Z"),
+    ], b"HTTP payload without header terminator")
+    good2 = W._warc_record("response", [
+        ("WARC-Target-URI", PAGES[1]["url"]),
+        ("WARC-Date", PAGES[1]["warc_ts"].strftime("%Y-%m-%dT%H:%M:%S.%fZ")),
+        ("Content-Type", "application/http;msgtype=response"),
+    ], b"HTTP/1.1 200 OK\r\n\r\n<html>two</html>")
+
+    # payload-malformed record dropped, both neighbors kept
+    data = good + bad_payload + good2
+    with pytest.raises(ValueError):
+        W.parse_warc(data)
+    rows = W.parse_warc(data, on_error="skip")
+    assert [r["url"] for r in rows] == [PAGES[0]["url"], PAGES[1]["url"]]
+
+    # framing lost mid-file: earlier records salvaged, rest abandoned
+    data = good + b"GARBAGE-NOT-A-RECORD" + good2
+    rows = W.parse_warc(data, on_error="skip")
+    assert [r["url"] for r in rows] == [PAGES[0]["url"]]
+
+    # end-to-end through the datasource: one good file + one corrupt
+    # gzip file -> only the good file's page
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "crawl-0.warc.gz").write_bytes(_gz.compress(good))
+    (d / "crawl-1.warc.gz").write_bytes(b"\x1f\x8bnot really gzip")
+    with pytest.raises(Exception):
+        W.read_warc(str(d)).count()
+    got = W.read_warc(str(d), on_error="skip").to_pandas()
+    assert list(got["url"]) == [PAGES[0]["url"]]
