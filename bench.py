@@ -209,16 +209,23 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
                     f"{os.path.basename(os.path.normpath(sf_dir))}"
                     f"_{warc_pages}")
 
+        # the ingest fallback is gated on this marker, not bare dir
+        # existence (round-4 ADVICE: a partially written dump from an
+        # interrupted prior run would be silently ingested)
+        warc_ok = os.path.join(warc_dir, "_SUCCESS")
+
         def warc_write_big():
             import shutil
             shutil.rmtree(warc_dir, ignore_errors=True)
             write_warc_dataset(
                 pages_dataset(pages_dir).limit(warc_pages),
                 warc_dir, num_files=2 * num_cpus)
+            with open(warc_ok, "w"):
+                pass
             return warc_pages
 
         timed("warc_write_big", warc_write_big, reps=1)
-        if not os.path.isdir(warc_dir):  # write skipped by BENCH_ONLY
+        if not os.path.exists(warc_ok):  # write skipped by BENCH_ONLY
             warc_write_big()
 
         def warc_ingest_big():

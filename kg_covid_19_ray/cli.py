@@ -44,17 +44,30 @@ def cmd_transform(args: argparse.Namespace) -> int:
     if _is_warc_dir(args.input):
         # crawl-dump ingestion: a directory of .warc[.gz] archives
         # feeds the same extract -> detect -> dedup chain as Parquet
-        # pages (sources/warc; byte-faithful per the shared oracle)
+        # pages (sources/warc; byte-faithful per the shared oracle).
+        # --checkpoint-dir is honored here too (round-4 ADVICE: this
+        # branch used to return before the checkpoint handling, so the
+        # flag was silently ignored and the run non-resumable); the
+        # WARC dir path is the fingerprint key.
         from kg_covid_19_ray.pipelines.flagship import build_kg
         from kg_covid_19_ray.sources.warc import read_warc
-        nodes, edges = build_kg(read_warc(args.input))
+        if args.checkpoint_dir:
+            nodes, edges = build_kg(
+                read_warc(args.input), share="checkpoint",
+                checkpoint_dir=args.checkpoint_dir,
+                source_key=args.input)
+        else:
+            nodes, edges = build_kg(read_warc(args.input))
         base = os.path.join(args.output_dir, "web_pages")
         nodes.write_parquet(os.path.join(base, "nodes"))
         edges.write_parquet(os.path.join(base, "edges"))
-        print(json.dumps({"web_pages": {
+        out = {"web_pages": {
             "nodes": os.path.join(base, "nodes"),
             "edges": os.path.join(base, "edges"),
-            "input_format": "warc"}}, indent=2))
+            "input_format": "warc"}}
+        if args.checkpoint_dir:
+            out["web_pages"]["checkpoint_dir"] = args.checkpoint_dir
+        print(json.dumps(out, indent=2))
         return 0
     if args.checkpoint_dir:
         # resumable flagship path: extraction goes through the

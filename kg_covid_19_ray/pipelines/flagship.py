@@ -182,7 +182,7 @@ def kg_nodes(source: str | ray.data.Dataset,
 def build_kg(source: str | ray.data.Dataset, *, sort_output: bool = False,
              materialize_mentions: bool = False,
              share: str = "none", checkpoint_dir: str | None = None,
-             metrics=None):
+             source_key: str | None = None, metrics=None):
     """-> (nodes Dataset, edges Dataset).
 
     ``metrics``: optional ``state.metrics.Metrics`` — taps the mention
@@ -217,7 +217,11 @@ def build_kg(source: str | ray.data.Dataset, *, sort_output: bool = False,
         from kg_covid_19_ray.state.checkpoint import (
             fingerprint_for_path, run_stage)
         assert checkpoint_dir, "share='checkpoint' needs checkpoint_dir"
-        src_key = source if isinstance(source, str) else "<dataset>"
+        # source_key lets a Dataset input (e.g. a WARC-dir read) carry
+        # its originating path so the checkpoint fingerprint tracks the
+        # real input files rather than the opaque "<dataset>" key
+        src_key = source_key or (
+            source if isinstance(source, str) else "<dataset>")
         docs = run_stage(
             checkpoint_dir, "extracted_docs",
             fingerprint_for_path(src_key, "extract-v1"),

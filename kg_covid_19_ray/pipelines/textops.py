@@ -414,16 +414,35 @@ def _broadcast_token_values(tokens, values: np.ndarray):
 def _lookup_token_values(table, tok: pd.Series) -> np.ndarray:
     """Vectorized lookup against a `_broadcast_token_values` table.
     Every queried token must exist (the tables are built from the same
-    corpus); a miss raises rather than mis-mapping."""
+    corpus); a miss raises rather than mis-mapping — on BOTH paths: a
+    miss in the dict fallback becomes NaN, and an unchecked
+    float->int64 cast would silently yield INT64_MIN garbage
+    (round-4 ADVICE)."""
     kind, a, b = table
     if kind == "dict":
-        return tok.map(a).to_numpy(np.int64)
+        mapped = tok.map(a)
+        if mapped.isna().any():
+            raise KeyError("token absent from broadcast side table")
+        return mapped.to_numpy(np.int64)
     th = pd.util.hash_pandas_object(tok, index=False).to_numpy()
     idx = np.searchsorted(a, th)
     idx = np.minimum(idx, len(a) - 1)
     if not (a[idx] == th).all():
         raise KeyError("token absent from broadcast side table")
     return b[idx]
+
+
+def _drop_null_text(batch: pd.DataFrame) -> pd.DataFrame:
+    """NULL text tokenizes to ZERO tokens — DuckDB's
+    ``unnest(string_split(NULL, ' '))`` emits no rows — so the
+    tfidf/surprisal explode stages drop null-text rows up front
+    instead of fillna('')-ing them into one '' token (round-4 ADVICE:
+    the '' token would appear in engine output while being absent
+    from the oracle). Empty-string text still yields one '' token on
+    both sides."""
+    if batch["text"].isna().any():
+        return batch[batch["text"].notna()]
+    return batch
 
 
 def _sum_token_counts(partials: ray.data.Dataset,
@@ -460,9 +479,10 @@ def _tfidf_join(ds: ray.data.Dataset, freq: ray.data.Dataset,
     top-k (union-safe: the cut order is the rounded total order)."""
 
     def route_tf(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _drop_null_text(batch)
         e = pd.DataFrame({
             "doc_id": batch["doc_id"],
-            "term": batch["text"].fillna("").str.split(" "),
+            "term": batch["text"].str.split(" "),
         }).explode("term")
         g = e.groupby(["doc_id", "term"], sort=False) \
              .size().rename("tf").reset_index()
@@ -538,9 +558,10 @@ def tfidf_topterms(sf_dir: str,
                                columns=["doc_id", "text"])
 
     def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _drop_null_text(batch)
         e = pd.DataFrame({
             "doc_id": batch["doc_id"],
-            "tok": batch["text"].fillna("").str.split(" "),
+            "tok": batch["text"].str.split(" "),
         }).explode("tok").drop_duplicates()
         cnt = e["tok"].value_counts()
         return pd.DataFrame({"token": cnt.index.to_numpy(),
@@ -551,10 +572,7 @@ def tfidf_topterms(sf_dir: str,
     n_docs = float(ds.count())
 
     if broadcast_max is None:
-        import os
-        broadcast_max = int(os.environ.get(
-            "KG_RAY_SURPRISAL_BROADCAST_MAX",
-            str(SURPRISAL_BROADCAST_MAX)))
+        broadcast_max = _env_broadcast_max("KG_RAY_TFIDF_BROADCAST_MAX")
     if freq_ds.count() > broadcast_max:
         return _tfidf_join(ds, freq_ds, n_docs)
 
@@ -566,9 +584,10 @@ def tfidf_topterms(sf_dir: str,
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(df_ref)  # zero-copy shared-memory read (numeric)
+        batch = _drop_null_text(batch)
         e = pd.DataFrame({
             "doc_id": batch["doc_id"],
-            "term": batch["text"].fillna("").str.split(" "),
+            "term": batch["text"].str.split(" "),
         }).explode("term")
         g = e.groupby(["doc_id", "term"], sort=False) \
              .size().rename("tf").reset_index()
@@ -691,11 +710,20 @@ FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
 """
 
 
-# Above this many distinct tokens the unigram table no longer belongs
-# in every worker's heap: text_lm_surprisal switches from the ray.put
-# broadcast to two bucketed exchanges (token-keyed attach, doc-keyed
-# re-reduce). Overridable for tests.
+# Above this many distinct tokens a token side table no longer belongs
+# in every worker's heap: tfidf/surprisal switch from the ray.put
+# broadcast to bucketed exchanges. Each operator has its own env knob
+# (KG_RAY_TFIDF_BROADCAST_MAX / KG_RAY_SURPRISAL_BROADCAST_MAX) with a
+# shared KG_RAY_TEXT_BROADCAST_MAX fallback — round-4 ADVICE: tfidf
+# borrowing the surprisal-specific knob silently switched both plans.
 SURPRISAL_BROADCAST_MAX = 4_000_000
+
+
+def _env_broadcast_max(specific_env: str) -> int:
+    import os
+    v = os.environ.get(specific_env) \
+        or os.environ.get("KG_RAY_TEXT_BROADCAST_MAX")
+    return int(v) if v else SURPRISAL_BROADCAST_MAX
 
 
 def _lm_surprisal_join(ds: ray.data.Dataset,
@@ -710,9 +738,10 @@ def _lm_surprisal_join(ds: ray.data.Dataset,
     integer sums)."""
 
     def route_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _drop_null_text(batch)
         e = pd.DataFrame({
             "doc_id": batch["doc_id"],
-            "tok": batch["text"].fillna("").str.split(" "),
+            "tok": batch["text"].str.split(" "),
         }).explode("tok")
         h = pd.util.hash_pandas_object(e["tok"], index=False).to_numpy()
         return pd.DataFrame({
@@ -800,7 +829,7 @@ def text_lm_surprisal(sf_dir: str,
                                columns=["doc_id", "text"])
 
     def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        counts = batch["text"].fillna("").str.split(" ") \
+        counts = _drop_null_text(batch)["text"].str.split(" ") \
             .explode().value_counts()
         return pd.DataFrame({"token": counts.index.to_numpy(),
                              "n": counts.to_numpy(dtype=np.int64)})
@@ -813,10 +842,8 @@ def text_lm_surprisal(sf_dir: str,
     total = float(sum(r["t"] for r in totals))
 
     if broadcast_max is None:
-        import os
-        broadcast_max = int(os.environ.get(
-            "KG_RAY_SURPRISAL_BROADCAST_MAX",
-            str(SURPRISAL_BROADCAST_MAX)))
+        broadcast_max = _env_broadcast_max(
+            "KG_RAY_SURPRISAL_BROADCAST_MAX")
     if freq_ds.count() > broadcast_max:
         return _lm_surprisal_join(ds, freq_ds, total)
 
@@ -829,9 +856,10 @@ def text_lm_surprisal(sf_dir: str,
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(surp_ref)
+        batch = _drop_null_text(batch)
         e = pd.DataFrame({
             "doc_id": batch["doc_id"],
-            "tok": batch["text"].fillna("").str.split(" "),
+            "tok": batch["text"].str.split(" "),
         }).explode("tok")
         e["s"] = _lookup_token_values(m, e["tok"])
         g = e.groupby("doc_id", sort=False)["s"].agg(["count", "sum"])

@@ -249,6 +249,39 @@ def test_lm_surprisal_join_plan_matches(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b[a.columns])
 
 
+def test_tfidf_surprisal_null_text_matches_oracle(ray_session, tmp_path):
+    """NULL text tokenizes to ZERO tokens (DuckDB's unnest emits no
+    rows for NULL), so a null-text doc is ABSENT from tfidf/surprisal
+    output on BOTH physical plans — round-4 ADVICE: fillna('') used to
+    emit an n_tokens=1 / term='' row the oracle never produces."""
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a a b", None, "b c"],
+        "lang": "x", "source": "s0", "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    for bmax in (None, 0):
+        surp = textops.text_lm_surprisal(str(tmp_path),
+                                         broadcast_max=bmax).to_pandas()
+        assert sorted(surp["doc_id"]) == [0, 2]
+        tfidf = textops.tfidf_topterms(str(tmp_path),
+                                       broadcast_max=bmax).to_pandas()
+        assert sorted(tfidf["doc_id"].unique()) == [0, 2]
+        assert "" not in set(tfidf["term"])
+
+
+def test_lookup_token_values_dict_fallback_raises_on_miss(ray_session):
+    """The dict-fallback path must raise on a missing token, not cast
+    NaN to INT64_MIN garbage (round-4 ADVICE)."""
+    import numpy as np
+    import pytest
+    table = ("dict", {"a": np.int64(1), "b": np.int64(2)}, None)
+    got = textops._lookup_token_values(table, pd.Series(["b", "a"]))
+    assert list(got) == [2, 1]
+    with pytest.raises(KeyError):
+        textops._lookup_token_values(table, pd.Series(["a", "zzz"]))
+
+
 def test_minhash_join_verification_equivalent(ray_session, planted_dir):
     """The web-scale join-based verification produces exactly the
     broadcast path's pairs."""
