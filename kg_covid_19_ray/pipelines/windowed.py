@@ -16,13 +16,20 @@ vectorized per-bucket kernels per the custom-operator guidance):
 - JSON property aggregate: vectorized regex field extraction from the
   ``props`` JSON column (M18-at-scale: no per-row json.loads).
 
-All three user-partitioned operators route users into a FIXED number
-of hash buckets and run one vectorized kernel per bucket:
+All three user-partitioned operators route users into hash buckets
+and run one vectorized kernel per bucket:
 ``groupby(user).map_groups`` would pay one Python call per user —
 O(users) interpreter crossings at corpus scale — while bucketing pays
-``NUM_BUCKETS`` (stages/dedup bucketing rationale). A hot user still
+one per bucket (stages/dedup bucketing rationale). A hot user still
 lands in one bucket, but a bucket holds many users and all kernels are
-linear in bucket rows.
+linear in bucket rows. These buckets hold RAW event rows (unlike the
+combiner-reduced aggregates in dedup_ops/textops), so the bucket
+count is DERIVED from the input row count against a per-bucket row
+budget (round-4 VERDICT: a fixed 64 capped parallelism at 64 tasks
+and put 1/64 of the corpus in one pandas task's heap at 100x —
+per-task OOM). The budget keeps each bucket's kernel input at a few
+hundred MB of pandas regardless of corpus size; the floor is the
+cluster-CPU-derived exchange width so small inputs still parallelize.
 
 All rounding is half-away-from-zero (DuckDB ``round()`` semantics);
 numpy's ``np.round`` is half-to-even and silently diverges on .5
@@ -43,18 +50,46 @@ def _round_half_away(arr: np.ndarray, ndigits: int) -> np.ndarray:
     return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
 
 
-NUM_BUCKETS = 64
+# per-bucket row budget for raw-event-row exchanges: ~2M narrow event
+# rows is a few hundred MB as a pandas kernel input — small enough for
+# a worker heap, large enough that the kernel stays vectorization-
+# dominated. Env-overridable for tests/experiments.
+_ROWS_PER_BUCKET = 2_000_000
 
 
-def _by_user_buckets(ds: ray.data.Dataset, kernel) -> ray.data.Dataset:
-    """Route rows by hash(user_id) % NUM_BUCKETS and run ``kernel``
+def _derive_buckets(n_rows: int | None) -> int:
+    """Bucket count for a raw-row exchange: enough buckets that no
+    single kernel task holds more than ``_ROWS_PER_BUCKET`` rows
+    (expected, under hash balance), floored at the cluster-CPU-derived
+    exchange width. Kernels are per-user-correct at ANY bucket count,
+    so this only moves the parallelism/memory trade."""
+    import os
+
+    from kg_covid_19_ray.functions.partitions import derive_num_partitions
+    budget = int(os.environ.get("KG_RAY_WINDOW_ROWS_PER_BUCKET",
+                                str(_ROWS_PER_BUCKET)))
+    base = derive_num_partitions()
+    if not n_rows:
+        return base
+    return max(base, (n_rows + budget - 1) // budget)
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata only — no data read."""
+    import pyarrow.dataset as pads
+    return pads.dataset(path).count_rows()
+
+
+def _by_user_buckets(ds: ray.data.Dataset, kernel,
+                     num_buckets: int) -> ray.data.Dataset:
+    """Route rows by hash(user_id) % num_buckets and run ``kernel``
     once per bucket (vectorized over all of the bucket's users)."""
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch["user_id"],
                                        index=False).to_numpy()
         batch = batch.copy()
-        batch["__bucket"] = (h % np.uint64(NUM_BUCKETS)).astype(np.int64)
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
         return batch
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
@@ -66,6 +101,10 @@ def _by_user_buckets(ds: ray.data.Dataset, kernel) -> ray.data.Dataset:
 
 def _read_events(sf_dir: str, cols: list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+
+def _event_buckets(sf_dir: str) -> int:
+    return _derive_buckets(_parquet_rows(f"{sf_dir}/events.parquet"))
 
 
 def sessions(sf_dir: str) -> ray.data.Dataset:
@@ -96,7 +135,7 @@ def sessions(sf_dir: str) -> ray.data.Dataset:
             "sum_value": _round_half_away(agg["sum_value"].to_numpy(), 6),
         })
 
-    return _by_user_buckets(ds, kernel)
+    return _by_user_buckets(ds, kernel, _event_buckets(sf_dir))
 
 
 SESSIONS_SQL = f"""
@@ -160,7 +199,7 @@ def asof_error_click(sf_dir: str) -> ray.data.Dataset:
             "gap_sec": _round_half_away(gap.to_numpy(), 6),
         })
 
-    return _by_user_buckets(ds, kernel)
+    return _by_user_buckets(ds, kernel, _event_buckets(sf_dir))
 
 
 ASOF_ERROR_CLICK_SQL = """
@@ -245,7 +284,7 @@ def sliding_count(sf_dir: str) -> ray.data.Dataset:
             "n_last_hour": (hi - lo).astype(np.int64),
         })
 
-    return _by_user_buckets(ds, kernel)
+    return _by_user_buckets(ds, kernel, _event_buckets(sf_dir))
 
 
 SLIDING_COUNT_SQL = """
@@ -276,14 +315,18 @@ def top_orders_per_cust(sf_dir: str) -> ray.data.Dataset:
 
     # the kernel is already multi-customer vectorized, so the final
     # reduce routes customers into hash buckets (one Python call per
-    # bucket) instead of groupby(custkey).map_groups (one per customer)
+    # bucket) instead of groupby(custkey).map_groups (one per customer).
+    # The reduce input is combiner-bounded (<= TOP_ORDERS_PER_CUST per
+    # customer per batch) but still grows with customers, so the bucket
+    # count derives from the order count (a safe upper bound).
     pre = ds.map_batches(partial, batch_format="pandas")
+    num_buckets = _derive_buckets(_parquet_rows(f"{sf_dir}/orders.parquet"))
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch["o_custkey"],
                                        index=False).to_numpy()
         batch = batch.copy()
-        batch["__bucket"] = (h % np.uint64(NUM_BUCKETS)).astype(np.int64)
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
         return batch
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
