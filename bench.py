@@ -270,6 +270,29 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
 
         timed("incr_append_big", incr_append_big, reps=1)
 
+    # windowed ops at 10^7 events (round-4 VERDICT item 1 evidence):
+    # the derived bucket count (windowed._derive_buckets) must hold at
+    # a scale where the old fixed 64 buckets would have put corpus/64
+    # raw event rows into a single pandas kernel task.
+    ev_replicas = int(os.environ.get("GRAFT_EVENT_REPLICAS", "100"))
+    if ev_replicas > 0 and (only is None or only.startswith("events_")):
+        from kg_covid_19_ray.pipelines.windowed import (asof_error_click,
+                                                        sessions,
+                                                        sliding_count)
+        from kg_covid_19_ray.sources.eventgen import write_events_parquet
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        ev_root = f"/tmp/kg_ray_bench/events_{tag}_x{ev_replicas}"
+        if not os.path.isdir(f"{ev_root}/events.parquet"):
+            write_events_parquet(sf_dir, ev_root, replicas=ev_replicas)
+        extras["events_big"] = ray.data.read_parquet(
+            f"{ev_root}/events.parquet").count()
+        timed("events_sessions_big",
+              lambda: sessions(ev_root).count(), reps=1)
+        timed("events_sliding_big",
+              lambda: sliding_count(ev_root).count(), reps=1)
+        timed("events_asof_big",
+              lambda: asof_error_click(ev_root).count(), reps=1)
+
     # ANN at 10^6 vectors: planted-cluster embeddings (sources/embedgen,
     # cached) through the IVF probe path and the cell-shuffle join path.
     emb_replicas = int(os.environ.get("GRAFT_EMB_REPLICAS", "2000"))

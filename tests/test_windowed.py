@@ -48,3 +48,23 @@ def test_windowed_results_invariant_under_bucket_count(
 def test_parquet_rows_is_metadata_only(tmp_path):
     pd.DataFrame({"a": range(123)}).to_parquet(tmp_path / "t.parquet")
     assert windowed._parquet_rows(str(tmp_path / "t.parquet")) == 123
+
+
+def test_eventgen_replication_invariants(ray_session, tmp_path):
+    """sources/eventgen expands the event stream with DISJOINT user
+    populations per replica, so every per-user windowed result must
+    scale exactly linearly — the ground truth the events_big bench
+    entries rely on."""
+    from kg_covid_19_ray.sources.eventgen import write_events_parquet
+
+    out = str(tmp_path / "ev")
+    n = write_events_parquet(SF, out, replicas=3)
+    base_rows = windowed._parquet_rows(f"{SF}/events.parquet")
+    assert n == 3 * base_rows
+    assert windowed._parquet_rows(f"{out}/events.parquet") == n
+    assert windowed.sessions(out).count() == 3 * windowed.sessions(SF).count()
+    # event_ids stay globally unique across replicas
+    import ray.data
+    ds = ray.data.read_parquet(f"{out}/events.parquet",
+                               columns=["event_id"])
+    assert ds.unique("event_id") and len(ds.unique("event_id")) == n
