@@ -76,8 +76,9 @@ def media_table(sf_dir: str) -> ray.data.Dataset:
     """Typed media table derived from documents: one asset per doc.
     Schema: asset_id, doc_id, kind, payload:binary, width, height,
     n_frames."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id"])
+    from kg_covid_19_ray.functions.arrow_meta import stripped
+    docs = stripped(ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                          columns=["doc_id"]))
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()

@@ -445,11 +445,16 @@ def brand_margin(sf_dir: str) -> ray.data.Dataset:
     distributed hash join (part is catalog-sized — a big-big join at
     web scale, unlike the broadcast dimension chains), then a small
     brand aggregate with a per-batch combiner."""
-    line = ray.data.read_parquet(
+    # metadata-free reads: the read task's own SplitBlocks path hashes
+    # block schemas for dedup, and the testdata's pandas footer metadata
+    # is unhashable — a post-read strip stage can't reach that far
+    # upstream (round-4 VERDICT item 6)
+    from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
+    line = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice",
                  "l_discount"])
-    part = ray.data.read_parquet(
+    part = read_parquet_clean(
         f"{sf_dir}/part.parquet",
         columns=["p_partkey", "p_brand", "p_retailprice"])
 
@@ -458,9 +463,10 @@ def brand_margin(sf_dir: str) -> ray.data.Dataset:
                          "p_brand": batch["p_brand"],
                          "p_retailprice": batch["p_retailprice"]})
 
-    joined = line.join(part.map_batches(part_proj, batch_format="pyarrow"),
-                       join_type="inner", num_partitions=derive_join_partitions(),
-                       on=("l_partkey",))
+    joined = line.join(
+        part.map_batches(part_proj, batch_format="pyarrow"),
+        join_type="inner", num_partitions=derive_join_partitions(),
+        on=("l_partkey",))
 
     def _fixed4(col) -> pa.Array:
         # fixed-point (4 dp) int64: float sums are order-sensitive in

@@ -568,10 +568,14 @@ def canonicalize_ids(pairs: ray.data.Dataset, ids: ray.data.Dataset, *,
 
         return ids.map_batches(ident, batch_format="pandas")
 
+    # join inputs come through pandas-format stages whose pandas schema
+    # metadata is unhashable — strip so the hash-shuffle aggregators
+    # keep their schema-dedup fast path (round-4 VERDICT item 6)
+    from kg_covid_19_ray.functions.arrow_meta import stripped
     comp = connected_components(pairs)
-    joined = ids.join(comp, join_type="left_outer",
-                      num_partitions=derive_join_partitions(),
-                      on=("member",))
+    joined = stripped(ids).join(stripped(comp), join_type="left_outer",
+                                num_partitions=derive_join_partitions(),
+                                on=("member",))
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         canon = b["canon"].fillna(b["member"]).map(int).astype(np.int64)

@@ -133,6 +133,10 @@ def distinct(ds: ray.data.Dataset, cols: list[str],
     keys = list(cols)
 
     def per_batch(batch: pa.Table) -> pa.Table:
+        if batch.schema.metadata:
+            # unhashable pandas metadata would defeat Ray's schema-dedup
+            # fast path in the bucket exchange (zero-copy strip)
+            batch = batch.replace_schema_metadata(None)
         batch = batch.select(keys).group_by(
             keys, use_threads=False).aggregate([])
         return batch.append_column(
