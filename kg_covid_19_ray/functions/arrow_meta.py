@@ -36,15 +36,32 @@ def stripped(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(strip_schema_metadata, batch_format="pyarrow")
 
 
+def _footer_schema(path: str) -> pa.Schema:
+    """Schema from ONE parquet footer (metadata-only read, no data).
+    For a directory, the first ``*.parquet`` file found (all shards of
+    an engine-written dataset share a schema); non-parquet siblings
+    (``_SUCCESS`` markers, fingerprint files) are ignored."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    if os.path.isdir(path):
+        hits = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                recursive=True))
+        if not hits:
+            raise FileNotFoundError(f"no *.parquet under {path}")
+        path = hits[0]
+    return pq.read_schema(path)
+
+
 def read_parquet_clean(path: str, *, columns: list[str] | None = None,
                        **kwargs) -> ray.data.Dataset:
     """``ray.data.read_parquet`` with a metadata-FREE explicit schema,
     so even the read task's own block-splitting (ReadParquet ->
     SplitBlocks) sees hashable schemas — a post-read strip stage can't
-    reach that far upstream. The schema is taken from the footer of the
-    dataset (one metadata read, no data), projected to ``columns``."""
-    import pyarrow.dataset as pads
-    full = pads.dataset(path).schema
+    reach that far upstream. The schema comes from one footer read,
+    projected to ``columns``."""
+    full = _footer_schema(path)
     names = columns if columns is not None else full.names
     clean = pa.schema([full.field(c) for c in names]).remove_metadata()
     return ray.data.read_parquet(path, columns=columns, schema=clean,

@@ -29,6 +29,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 
 # ---------------------------------------------------------------- exact
 
@@ -37,7 +38,7 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     """One row per distinct text: fingerprint, the kept (minimum) doc_id
     — the engine's deterministic 'first' (D1 analog) — and the
     duplicate count."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -154,7 +155,7 @@ def jaccard_topk_pairs(sf_dir: str) -> ray.data.Dataset:
        filter >= T on the 6dp-ROUNDED value (union-safe cut), global
        sort, limit K.
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "source"])
 
     def distinct_tokens(batch: pd.DataFrame) -> pd.DataFrame:
@@ -241,7 +242,7 @@ def jaccard_topk_pairs(sf_dir: str) -> ray.data.Dataset:
     from kg_covid_19_ray.functions.arrow_meta import (stripped,
                                                       strip_schema_metadata)
     from kg_covid_19_ray.functions.partitions import derive_join_partitions
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     nparts = derive_join_partitions()
 
@@ -466,9 +467,8 @@ def minhash_near_dups(sf_dir: str,
     import pyarrow.parquet as pq
     import ray
 
-    from kg_covid_19_ray.functions.arrow_meta import stripped
-    ds = stripped(ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                        columns=["doc_id", "text"]))
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
     # signature stage is stateless (permutation params are module
     # constants): run as a TASK pool so it scales to every core the
     # cluster has, instead of a fixed-size actor pool
@@ -523,7 +523,7 @@ def minhash_near_dups(sf_dir: str,
     if verify == "join":
         from kg_covid_19_ray.functions.arrow_meta import (
             stripped, strip_schema_metadata)
-        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+        docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                      columns=["doc_id", "text"])
 
         # pyarrow rename + metadata strip: hashable join-input schemas
@@ -638,7 +638,7 @@ def simhash_near_dups(sf_dir: str) -> ray.data.Dataset:
     """SimHash near-dup pairs with hamming distance <= 3: 4-segment
     pigeonhole blocking (any pair within distance 3 agrees on >= 1 of 4
     16-bit segments) then exact hamming verification."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def sig(batch: pd.DataFrame) -> pd.DataFrame:
@@ -799,7 +799,7 @@ def minhash_clusters(sf_dir: str) -> ray.data.Dataset:
             "a": [f"{v:020d}" for v in b["doc_a"].to_numpy()],
             "b": [f"{v:020d}" for v in b["doc_b"].to_numpy()]}),
         batch_format="pandas").materialize()
-    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ids = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                 columns=["doc_id"]).map_batches(
         lambda b: pd.DataFrame({
             "doc_id": b["doc_id"],

@@ -36,6 +36,7 @@ from kg_covid_19_ray.stages.dedup import (
 from kg_covid_19_ray.stages.extract import extract_text
 from kg_covid_19_ray.stages.linking import link_mentions_batch, make_canonicalize
 from kg_covid_19_ray.stages.mentions import detect_mentions
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 
 MENTIONS_PREDICATE = "biolink:mentions"  # scibite_cord.py:227
 MENTIONS_RELATION = "SIO:000255"  # scibite_cord.py:229
@@ -61,7 +62,7 @@ def pages_dataset(source: str) -> ray.data.Dataset:
             or any(f.endswith(".parquet") and not f.startswith("documents")
                    for f in os.listdir(source))
     ) and not os.path.exists(os.path.join(source, "documents.parquet")):
-        return ray.data.read_parquet(
+        return read_parquet_clean(
             source, columns=["url", "warc_ts", "html", "lang"])
     return read_pages(source)
 

@@ -40,6 +40,7 @@ from kg_covid_19_ray.pipelines import kg_queries as kq
 from kg_covid_19_ray.sources import gazetteer as gz
 from kg_covid_19_ray.stages.mentions import detect_mentions
 from kg_covid_19_ray.stages.linking import link_mentions_batch
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 
 TEST_HEX = "33"  # first md5 byte < 0x33 -> test (51/256 ~ 0.2)
 CAND_HEX = "80"  # candidate thinning: keep ~ half the cross space
@@ -329,7 +330,7 @@ def sample_stratified(sf_dir: str,
 
     from kg_covid_19_ray.functions.md5hash import md5_key
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source"])
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:

@@ -27,6 +27,7 @@ from kg_covid_19_ray.pipelines.flagship import (
 from kg_covid_19_ray.stages.cluster import connected_components
 from kg_covid_19_ray.stages.linking import link_mentions_batch
 from kg_covid_19_ray.stages.mentions import detect_mentions
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 
 
 def q_kg_mentions(sf_dir: str):
@@ -321,7 +322,7 @@ def q_kg_cooccur_stats(sf_dir: str):
         .groupby("curie").aggregate(Sum("df", alias_name="df"))
     df_map = {r["curie"]: int(r["df"])
               for r in dfreq.iter_rows()}  # |gazetteer| rows: broadcast
-    n_docs = int(ray.data.read_parquet(
+    n_docs = int(read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]).count())
 
     pairs = _cooccur_counts(m)

@@ -34,6 +34,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 from kg_covid_19_ray.functions.codecs import (_PNG_SIG, decode_png_gray,
                                               decode_wav_u8,
                                               encode_png_gray,
@@ -76,9 +77,8 @@ def media_table(sf_dir: str) -> ray.data.Dataset:
     """Typed media table derived from documents: one asset per doc.
     Schema: asset_id, doc_id, kind, payload:binary, width, height,
     n_frames."""
-    from kg_covid_19_ray.functions.arrow_meta import stripped
-    docs = stripped(ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                          columns=["doc_id"]))
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()

@@ -27,6 +27,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 from kg_covid_19_ray.functions.partitions import derive_join_partitions
 
 _Q1_CUTOFF = _dt.datetime(1998, 9, 2)
@@ -40,7 +41,7 @@ def _round_col(col, ndigits: int) -> pa.Array:
 
 def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H-Q1-style summary with a per-batch combiner."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount", "l_shipdate"],
@@ -142,7 +143,7 @@ def top_nations(sf_dir: str) -> ray.data.Dataset:
     nation_ref = ray.put(dict(zip(nation_t["n_nationkey"].to_pylist(),
                                   nation_t["n_name"].to_pylist())))
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
     enriched = orders.map_batches(
         _NationEnricher, batch_format="pyarrow", batch_size=65536,
@@ -182,7 +183,7 @@ LIMIT 10
 
 def returned_topk(sf_dir: str) -> ray.data.Dataset:
     """Filter + computed column + deterministic top-k (M2/O3 analogs)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_returnflag",
                  "l_extendedprice", "l_discount"],
@@ -218,7 +219,7 @@ LIMIT 20
 def events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1h window aggregate per user (streaming-shaped analog:
     event-time windows as groupby over truncated timestamps)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -263,7 +264,7 @@ def nation_year_revenue(sf_dir: str) -> ray.data.Dataset:
     lookup inside `map_batches` — the two canonical shapes."""
     import pyarrow.parquet as pq
 
-    line = ray.data.read_parquet(
+    line = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -275,7 +276,7 @@ def nation_year_revenue(sf_dir: str) -> ray.data.Dataset:
 
     line = line.map_batches(line_rev, batch_format="pyarrow")
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -397,7 +398,7 @@ def region_revenue(sf_dir: str) -> ray.data.Dataset:
         supp_t["s_suppkey"].to_pylist(),
         (r2n[n2r[sn]] for sn in supp_t["s_nationkey"].to_pylist()))
 
-    line = ray.data.read_parquet(
+    line = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_suppkey", "l_extendedprice", "l_discount"])
 
@@ -445,11 +446,6 @@ def brand_margin(sf_dir: str) -> ray.data.Dataset:
     distributed hash join (part is catalog-sized — a big-big join at
     web scale, unlike the broadcast dimension chains), then a small
     brand aggregate with a per-batch combiner."""
-    # metadata-free reads: the read task's own SplitBlocks path hashes
-    # block schemas for dedup, and the testdata's pandas footer metadata
-    # is unhashable — a post-read strip stage can't reach that far
-    # upstream (round-4 VERDICT item 6)
-    from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
     line = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_quantity", "l_extendedprice",

@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 import ray
 import ray.data
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 
 ANN_K = 10
 ANN_NUM_QUERIES = 16  # queries = vec_id < ANN_NUM_QUERIES
@@ -44,7 +45,7 @@ def _round6(arr: np.ndarray) -> np.ndarray:
 
 
 def _read_embeddings(sf_dir: str, **kw) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                                  columns=["vec_id", "embedding"], **kw)
 
 

@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 
 HASH_SPACE = 1 << 60  # first 15 hex digits of md5
 
@@ -99,7 +100,7 @@ def q_sketch_distinct_texts(sf_dir: str) -> ray.data.Dataset:
     """KMV estimate of the number of distinct document texts — the
     pre-dedup cardinality probe (k=64 < true cardinality at every test
     sf, so the ESTIMATION path is exercised, not the exact fallback)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["text"])
     return kmv_distinct(ds, "text", k=64)
 

@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 
 STOPWORDS = ("the", "a")
 
@@ -58,7 +59,7 @@ def _token_and_stop_counts(text: pd.Series) -> tuple[np.ndarray, np.ndarray]:
 def text_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-document token count, stopword ratio, average token length,
     and a bounded quality score (length x non-stopword density)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
@@ -129,7 +130,7 @@ class LangId:
 
 
 def text_langid(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pandas",
                           concurrency=(1, 4), num_cpus=1)
@@ -160,7 +161,7 @@ FROM (
 
 def md5_fingerprints(sf_dir: str) -> ray.data.Dataset:
     """Exact content fingerprint per document (md5 of the text bytes)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
@@ -201,7 +202,7 @@ def token_freq(sf_dir: str) -> ray.data.Dataset:
     moves one row per distinct token per block."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -239,7 +240,7 @@ def clean_corpus(sf_dir: str) -> ray.data.Dataset:
     intermediate materialization); dedup is the only shuffle, on the
     md5 fingerprint with doc_id as the deterministic keep-first order
     key. Output: (doc_id, source, n_tokens) of retained docs."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "source"])
     lang = LangId()
 
@@ -309,7 +310,7 @@ def token_count_bpe(sf_dir: str) -> ray.data.Dataset:
     the whitespace count, plus their ratio — the standard
     chars-per-token-style corpus costing signal. One vectorized
     ``str.count`` per batch."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def count(batch: pd.DataFrame) -> pd.DataFrame:
@@ -352,7 +353,7 @@ def text_repetition(sf_dir: str) -> ray.data.Dataset:
     index, lexsort (row, token-code), and count run starts — zero
     per-row Python (a per-row ``set(tokens)`` loop is the hot-path
     anti-pattern this module already evicted from LangId)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def rep(batch: pd.DataFrame) -> pd.DataFrame:
@@ -554,7 +555,7 @@ def tfidf_topterms(sf_dir: str,
     tests)."""
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -673,7 +674,7 @@ def text_decontaminate(sf_dir: str) -> ray.data.Dataset:
         _doc_ngrams(bench_tbl.to_pandas(), DECON_NGRAM)["g"])
     bench_ref = ray.put(bench_grams)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def hits(batch: pd.DataFrame) -> pd.DataFrame:
@@ -825,7 +826,7 @@ def text_lm_surprisal(sf_dir: str,
     value-identical (pinned by test_lm_surprisal_join_plan_matches)."""
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:

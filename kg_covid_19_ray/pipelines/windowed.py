@@ -41,6 +41,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import ray.data
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 
 SESSION_GAP_MIN = 30
 
@@ -100,7 +101,7 @@ def _by_user_buckets(ds: ray.data.Dataset, kernel,
 
 
 def _read_events(sf_dir: str, cols: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=cols)
 
 
 def _event_buckets(sf_dir: str) -> int:
@@ -303,7 +304,7 @@ def top_orders_per_cust(sf_dir: str) -> ray.data.Dataset:
     TOP_ORDERS_PER_CUST highest-value orders. Per-batch partial top-k
     per key (union-safe under the (price desc, orderkey asc) total
     order), final exact reduce."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"])
 

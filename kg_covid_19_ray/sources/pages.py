@@ -21,6 +21,7 @@ import os
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 
 # Fixed template; escape/unescape are exact inverses for &, <, > (applied
 # in the html.escape order: & first on escape, & last on unescape).
@@ -101,7 +102,7 @@ def read_pages(sf_dir: str, *, include_text: bool = False) -> ray.data.Dataset:
     ground-truth ``text`` column so downstream stages must extract from
     ``html`` (the realistic path); invariant tests pass ``True``.
     """
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source"],
     )
@@ -120,7 +121,7 @@ def write_pages_parquet(sf_dir: str, out_dir: str, *,
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "lang", "source"],
     )
