@@ -14,9 +14,13 @@ Distributed shapes:
   collide in any table together, exact cosine re-rank inside the
   bucket — the scale path when the database no longer fits a matmul
   sweep per batch;
-- near-dup pairs: the whole (small) embedding matrix is broadcast and
-  each batch computes its rows-vs-all similarity block; at web scale
-  the broadcast side becomes the LSH bucket join above.
+- near-dup pairs: EXACT all-pairs routed by input size
+  (``KG_RAY_EMB_BROADCAST_MAX``) — small tables broadcast the matrix
+  once and score rows-vs-all per batch; larger tables run a blocked
+  chunk-pair cross join (two chunks per task, bounded memory, no
+  broadcast) with byte-identical output; the ``*_lsh`` twins trade
+  recall for a candidate-bounded exchange when exact O(n^2) compute
+  itself is unaffordable.
 
 All projections/permutations are seeded constants — deterministic at
 any parallelism. Cosines are computed in float64 and rounded
@@ -438,12 +442,130 @@ def _ivf_with_centroids(sf_dir: str, cent: np.ndarray,
 
 # -------------------------------------------------- embedding near-dups
 
+# Dual-plan threshold for the EXACT all-pairs embedding operators
+# (round-4 VERDICT item 2, the remap_node_identifier pattern): at or
+# below this many vectors the whole matrix is broadcast once and each
+# batch scores rows-vs-all; above it the same exact semantics run as a
+# BLOCKED all-pairs cross join (chunk-pair groups, 2 chunks per task)
+# with no broadcast and bounded per-task memory. Both plans produce
+# byte-identical results, so the one exact SQL oracle covers whichever
+# plan the input size selects. (Exact all-pairs is inherently O(n^2)
+# compute; beyond what that affords, the *_lsh twins trade recall for
+# a candidate-bounded exchange.)
+EMB_BROADCAST_MAX = 200_000
+EMB_CHUNK_ROWS = 65_536  # ~33 MB of float64x64 per chunk side
 
-def embedding_pair_topk(sf_dir: str) -> ray.data.Dataset:
+
+def _emb_broadcast_max(override: int | None = None) -> int:
+    if override is not None:
+        return override
+    import os
+    v = os.environ.get("KG_RAY_EMB_BROADCAST_MAX")
+    return int(v) if v else EMB_BROADCAST_MAX
+
+
+def _emb_row_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(
+        f"{sf_dir}/embeddings.parquet").metadata.num_rows
+
+
+def _chunk_pair_groups(sf_dir: str, score_group,
+                       chunk_rows: int | None = None) -> ray.data.Dataset:
+    """Blocked exact all-pairs: vectors hash into C chunks; each row is
+    replicated once per chunk id k under the unordered key
+    (min(c,k), max(c,k)), so group (i, j) holds exactly chunks i and j
+    and every vector pair lands in exactly ONE group. ``score_group``
+    (pandas DataFrame -> DataFrame) sees at most 2 chunks of rows —
+    per-task memory is bounded by the chunk size, nothing is broadcast.
+    Exchange volume is n x C rows (inherent to exact all-pairs at
+    bounded memory)."""
+    import os
+    if chunk_rows is None:
+        chunk_rows = int(os.environ.get("KG_RAY_EMB_CHUNK_ROWS")
+                         or EMB_CHUNK_ROWS)
+    n = _emb_row_count(sf_dir)
+    n_chunks = max(1, -(-n // chunk_rows))
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy()
+        c = (ids % n_chunks).astype(np.int64)
+        idx = np.repeat(np.arange(len(ids)), n_chunks)
+        k = np.tile(np.arange(n_chunks, dtype=np.int64), len(ids))
+        out = batch.iloc[idx].reset_index(drop=True)
+        cc = c[idx]
+        out["chunk"] = cc
+        out["pk_lo"] = np.minimum(cc, k)
+        out["pk_hi"] = np.maximum(cc, k)
+        return out
+
+    replicated = _read_embeddings(sf_dir).map_batches(
+        emit, batch_format="pandas")
+    return replicated.groupby(["pk_lo", "pk_hi"]).map_groups(
+        score_group, batch_format="pandas")
+
+
+def _group_pair_scores(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray,
+                                                 np.ndarray]:
+    """Score every unordered vector pair of a chunk-pair group exactly
+    once. A DIAGONAL group (lo == hi) holds one chunk: the strict id<
+    mask visits each within-chunk pair once. An off-diagonal group
+    holds two disjoint chunks: every left x right cell is a distinct
+    unordered pair (chunk ids differ, so vec ids never collide) and the
+    pair is oriented afterwards with min/max — a strict id< mask here
+    would silently DROP pairs whose left id exceeds the right id.
+    Returns (vec_a, vec_b, rounded cos) with vec_a < vec_b."""
+    lo, hi = int(g["pk_lo"].iloc[0]), int(g["pk_hi"].iloc[0])
+    left = g if lo == hi else g[g["chunk"] == lo]
+    right = g if lo == hi else g[g["chunk"] != lo]
+
+    def norm(side: pd.DataFrame) -> np.ndarray:
+        mat = _matrix(side)
+        return mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+
+    ids_l = left["vec_id"].to_numpy()
+    ids_r = right["vec_id"].to_numpy()
+    if len(ids_l) == 0 or len(ids_r) == 0 or (lo == hi and len(ids_l) < 2):
+        z = np.array([], dtype=np.int64)
+        return z, z, np.array([], dtype=np.float64)
+    cos = _round6(norm(left) @ norm(right).T)
+    if lo == hi:
+        ai, bi = np.nonzero(ids_l[:, None] < ids_r[None, :])
+    else:
+        ai = np.repeat(np.arange(len(ids_l)), len(ids_r))
+        bi = np.tile(np.arange(len(ids_r)), len(ids_l))
+    vec_a = np.minimum(ids_l[ai], ids_r[bi])
+    vec_b = np.maximum(ids_l[ai], ids_r[bi])
+    return vec_a, vec_b, cos[ai, bi]
+
+
+def embedding_pair_topk(sf_dir: str, *, broadcast_max: int | None = None,
+                        chunk_rows: int | None = None) -> ray.data.Dataset:
     """Top-PAIR_TOPK most-cosine-similar vector pairs (vec_a < vec_b):
-    the embedding-cosine near-duplicate detector. The full matrix is
-    broadcast (small side); each batch computes its rows-vs-all block
-    and keeps a partial top-k, final global sort+limit."""
+    the embedding-cosine near-duplicate detector, EXACT. Physical plan
+    is routed by input size (``KG_RAY_EMB_BROADCAST_MAX``): small
+    tables broadcast the matrix once and score rows-vs-all per batch;
+    larger tables run the blocked chunk-pair plan — identical output
+    either way (plan-parity pinned by test). Each task keeps a partial
+    top-k in the same (rounded cos desc, vec_a, vec_b) total order as
+    the global cut, so the union of partials provably contains the
+    global top-k; final global sort+limit."""
+    if _emb_row_count(sf_dir) > _emb_broadcast_max(broadcast_max):
+        def cell_topk(g: pd.DataFrame) -> pd.DataFrame:
+            vec_a, vec_b, c = _group_pair_scores(g)
+            if len(c) > PAIR_TOPK:
+                top = np.lexsort((vec_b, vec_a, -c))[:PAIR_TOPK]
+                vec_a, vec_b, c = vec_a[top], vec_b[top], c[top]
+            return pd.DataFrame({"vec_a": vec_a.astype(np.int64),
+                                 "vec_b": vec_b.astype(np.int64),
+                                 "cos": c})
+
+        partials = _chunk_pair_groups(sf_dir, cell_topk, chunk_rows)
+        return partials.sort(["cos", "vec_a", "vec_b"],
+                             descending=[True, False, False]
+                             ).limit(PAIR_TOPK)
+
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"]).sort_by("vec_id")
@@ -487,23 +609,42 @@ DEDUP_EMB_THRESHOLD = 0.42  # fixture cos max ~0.51; yields a real graph
 
 
 def dedup_embedding(sf_dir: str,
-                    threshold: float = DEDUP_EMB_THRESHOLD
-                    ) -> ray.data.Dataset:
+                    threshold: float = DEDUP_EMB_THRESHOLD, *,
+                    broadcast_max: int | None = None,
+                    chunk_rows: int | None = None) -> ray.data.Dataset:
     """Semantic (embedding-cosine) near-duplicate CLUSTERING, the
-    SemDeDup-style composition: thresholded exact cosine pairs
-    (broadcast small side, per-batch matmul), connected components
-    over the pair graph (the distributed contraction in
-    ``stages.cluster``), then the min-id representative per cluster.
-    Output: one ``(vec_id, canon_id)`` row per vector — singletons map
-    to themselves; dropping rows with ``vec_id != canon_id`` is the
-    dedup. This is the exact-recall SMALL-SIDE variant (full matrix
-    broadcast); at web scale use ``dedup_embedding_lsh``, which swaps
-    the all-pairs stage for LSH bucket candidates with the component
-    and representative stages unchanged. Node ids travel through the
-    component stage as
-    zero-padded strings so the lexicographic min equals the numeric
-    min the SQL oracle computes."""
+    SemDeDup-style composition: thresholded exact cosine pairs,
+    connected components over the pair graph (the distributed
+    contraction in ``stages.cluster``), then the min-id representative
+    per cluster. Output: one ``(vec_id, canon_id)`` row per vector —
+    singletons map to themselves; dropping rows with
+    ``vec_id != canon_id`` is the dedup. The pair stage's physical plan
+    is routed by input size (``KG_RAY_EMB_BROADCAST_MAX``): small
+    tables broadcast the matrix once; larger tables run the blocked
+    chunk-pair plan — identical pairs either way (plan-parity pinned
+    by test). ``dedup_embedding_lsh`` remains the recall-tradeoff swap
+    when exact O(n^2) compute itself is unaffordable. Node ids travel
+    through the component stage as zero-padded strings so the
+    lexicographic min equals the numeric min the SQL oracle computes."""
     from kg_covid_19_ray.stages.cluster import canonicalize_ids
+
+    if _emb_row_count(sf_dir) > _emb_broadcast_max(broadcast_max):
+        def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            vec_a, vec_b, c = _group_pair_scores(g)
+            keep = c >= threshold
+            return pd.DataFrame({
+                "a": [f"{v:020d}" for v in vec_a[keep]],
+                "b": [f"{v:020d}" for v in vec_b[keep]]})
+
+        pairs = _chunk_pair_groups(sf_dir, cell_pairs,
+                                   chunk_rows).materialize()
+        ids = _read_embeddings(sf_dir).map_batches(
+            lambda b: pd.DataFrame({
+                "vec_id": b["vec_id"],
+                "member": [f"{v:020d}" for v in b["vec_id"].to_numpy()]}),
+            batch_format="pandas")
+        return canonicalize_ids(pairs, ids, id_col="vec_id",
+                                out_col="canon_id")
 
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",

