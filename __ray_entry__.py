@@ -28,24 +28,53 @@ PIPELINE_MODULES = ("relational_queries", "textops", "dedup_ops",
                     "similarity", "holdouts", "multimodal", "windowed",
                     "sketches")
 
-# Registry order = driver verification order. Entries never yet (or not
-# last round) driver-verified run FIRST so a time-budgeted correctness
-# sweep always covers the newest/least-proven queries before the
-# long-green ones (round-3 VERDICT item 1).
-VERIFY_FIRST = (
-    # new/changed in round 4
-    "holdout_connected", "dedup_embedding_lsh", "embedding_pair_topk_lsh",
-    "text_tfidf_topterms", "text_decontaminate", "text_lm_surprisal",
-    "kg_edges_from_warc", "kg_remapped_edges",
-    "ann_ivf_join",
-    "ann_ivf", "ann_ivf_kmeans", "kg_cooccurrence", "kg_cooccur_stats",
-    "kg_triangles", "kg_node_triangles", "kg_incr_edges", "kg_incr_nodes",
-    # no CORRECTNESS_r03 row (media real-decode, windowed, sketch)
-    "media_features", "media_frame_sample", "media_near_dups",
-    "media_thumbnails", "sketch_distinct_texts", "rel_sessions",
-    "rel_sliding_count", "rel_asof_error_click", "rel_range_join",
-    "rel_top_orders_per_cust", "rel_props_avg",
+# Registry order = driver verification order (a time-budgeted sweep
+# covers a prefix). Queries whose SEMANTICS changed this round run
+# first; after them everything is ordered by the round a query's green
+# value-hash row was last recorded (read from the CORRECTNESS_r*.json
+# files at import time), OLDEST first, so no query's proof goes stale —
+# a 50-query budget re-proves the stalest rows every round (round-4
+# VERDICT item 3). Never-verified queries sort as round 0 (earliest).
+CHANGED_THIS_ROUND = (
+    # round 5: dual-plan embedding routing, derived windowed buckets,
+    # null-text tokenization fix, pyarrow join prep in the dedup verify
+    "dedup_embedding", "embedding_pair_topk",
+    "rel_sessions", "rel_sliding_count", "rel_asof_error_click",
+    "text_tfidf_topterms", "text_lm_surprisal",
+    "dedup_jaccard_topk", "dedup_minhash", "dedup_minhash_clusters",
+    "rel_brand_margin",
 )
+
+
+def _last_verified_round() -> dict[str, int]:
+    """name -> latest round whose CORRECTNESS file records a fully
+    green row (rows+schema+hash, no err) for that query."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if (isinstance(row, dict) and not row.get("err")
+                    and row.get("rows_match")
+                    and row.get("schema_match") is not False
+                    and row.get("hash_match") is not False):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def _registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
@@ -61,14 +90,11 @@ def _registry() -> dict[str, tuple[Callable[[str], Any], str | None]]:
             reg.update(mod.REGISTRY)
         except ModuleNotFoundError:
             continue
-    ordered: dict[str, tuple[Callable[[str], Any], str | None]] = {}
-    for name in VERIFY_FIRST:
-        if name in reg:
-            ordered[name] = reg[name]
-    for name, val in reg.items():
-        if name not in ordered:
-            ordered[name] = val
-    return ordered
+    last = _last_verified_round()
+    changed_rank = {n: i for i, n in enumerate(CHANGED_THIS_ROUND)}
+    names = sorted(reg, key=lambda n: (
+        changed_rank.get(n, len(changed_rank)), last.get(n, 0), n))
+    return {name: reg[name] for name in names}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
