@@ -105,7 +105,9 @@ def cmd_merge(args: argparse.Namespace) -> int:
             nodes=ray.data.read_parquet(os.path.join(src, "nodes")),
             edges=ray.data.read_parquet(os.path.join(src, "edges")),
         ))
-    nodes, edges = merge(MergeConfig(sources=specs))
+    prop_types = dict(pt.split("=", 1) for pt in args.property_type)
+    nodes, edges = merge(MergeConfig(sources=specs,
+                                     property_types=prop_types))
     os.makedirs(args.output_dir, exist_ok=True)
     nodes.write_parquet(os.path.join(args.output_dir, "merged_nodes"))
     edges.write_parquet(os.path.join(args.output_dir, "merged_edges"))
@@ -212,6 +214,11 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--tar", action="store_true",
                    help="package merged TSVs as merged-kg.tar.gz "
                         "(reference merge.yaml destination layout)")
+    m.add_argument("--property-type", action="append", default=[],
+                   metavar="COLUMN=XSDTYPE",
+                   help="declare a typed property column surviving the "
+                        "all-strings union, e.g. combined_score=xsd:float "
+                        "(reference merge.yaml property_types); repeatable")
     m.set_defaults(fn=cmd_merge)
 
     q = sub.add_parser("query", help="run a registered query")

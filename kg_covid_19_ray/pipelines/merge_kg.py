@@ -53,6 +53,52 @@ class MergeConfig:
     # operations (merge.yaml:42-47): [("remap_node_identifier",
     #   {"category": ..., "alternative_property": ..., "prefix": ...})]
     operations: list[tuple[str, dict]] = field(default_factory=list)
+    # typed property columns (reference merge.yaml:128-144
+    # ``property_types: xsd:float`` on score columns): the schema-union
+    # carries every column as string so heterogeneous sources align;
+    # columns declared here are cast back to their Arrow type AFTER the
+    # unify / dedup, so numeric edge properties (combined_score etc.)
+    # leave merge() typed instead of as strings downstream consumers
+    # must re-parse. Applied to nodes and edges alike (absent columns
+    # are ignored).
+    property_types: dict[str, str] = field(default_factory=dict)
+
+
+_XSD_ARROW_TYPES = {
+    "xsd:float": pa.float64(), "xsd:double": pa.float64(),
+    "xsd:decimal": pa.float64(),
+    "xsd:int": pa.int64(), "xsd:integer": pa.int64(),
+    "xsd:long": pa.int64(),
+    "xsd:boolean": pa.bool_(),
+}
+
+
+def _cast_declared_properties(ds: ray.data.Dataset,
+                              property_types: dict[str, str]
+                              ) -> ray.data.Dataset:
+    """Cast declared property columns from the union's all-strings
+    representation back to typed Arrow columns. Empty strings (the
+    null-fill of sources lacking the column) become nulls, never cast
+    errors; an unknown xsd type raises immediately."""
+    if not property_types:
+        return ds
+    want = {c: _XSD_ARROW_TYPES[t] for c, t in property_types.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {}
+        for name in batch.column_names:
+            col = batch[name]
+            target = want.get(name)
+            if target is not None and col.type != target:
+                if pa.types.is_string(col.type):
+                    col = pc.if_else(pc.equal(col, pa.scalar("")),
+                                     pa.scalar(None, pa.string()), col)
+                col = pc.cast(col, target)
+            cols[name] = col
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _union_with_schema_union(tables: list[ray.data.Dataset],
@@ -364,6 +410,8 @@ def merge(config: MergeConfig) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     from kg_covid_19_ray.stages.dedup import first_wins
     edges = first_wins(edges, EDGE_KEY, "source_rank") \
         .drop_columns(["source_rank"])
+    nodes = _cast_declared_properties(nodes, config.property_types)
+    edges = _cast_declared_properties(edges, config.property_types)
     return nodes, edges
 
 
