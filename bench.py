@@ -118,6 +118,50 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     timed("kg_triples", kg_triples)
     timed("kg_build", kg_build, reps=1)
 
+    # >10M-page regime (round-4 VERDICT item 7): the round-4 extra-scale
+    # capture saw 2x data -> 3.1x wall when the 145M-triple output was
+    # MATERIALIZED (count() holds every block in the object store while
+    # upstream still streams). These two entries run the same chain into
+    # a streaming write_parquet sink — blocks leave the store as soon as
+    # they're written — at 10M and 20M pages, so the ratio isolates the
+    # pipeline's scaling from output-materialization pressure. Output
+    # row counts come from the written footers (metadata-only).
+    def _kg_triples_sink(src_dir: str, out_dir: str) -> int:
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
+        mention_edges(canonical_mentions(src_dir)).write_parquet(out_dir)
+        import glob
+
+        import pyarrow.parquet as pq
+        return sum(pq.ParquetFile(p).metadata.num_rows
+                   for p in glob.glob(f"{out_dir}/*.parquet"))
+
+    sink10 = "/tmp/kg_ray_bench/triples_sink_10m"
+    sink20 = "/tmp/kg_ray_bench/triples_sink_20m"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    pages20_dir = f"/tmp/kg_ray_bench/pages_{tag}_x{2 * _replicas()}"
+
+    def kg_triples_10m_sink():
+        extras["triples_10m_sink_out"] = _kg_triples_sink(pages_dir, sink10)
+
+    def kg_triples_20m_sink():
+        extras["triples_20m_sink_out"] = _kg_triples_sink(pages20_dir,
+                                                          sink20)
+
+    timed("kg_triples_10m_sink", kg_triples_10m_sink, reps=1)
+    if only is None or only == "kg_triples_20m_sink":
+        write_pages_parquet(sf_dir, pages20_dir,
+                            replicas=2 * _replicas())  # untimed fixture
+    timed("kg_triples_20m_sink", kg_triples_20m_sink, reps=1)
+    import shutil
+    shutil.rmtree(sink10, ignore_errors=True)  # keep /tmp bounded
+    shutil.rmtree(sink20, ignore_errors=True)
+    if ("kg_triples_10m_sink" in timings
+            and "kg_triples_20m_sink" in timings):
+        extras["sink_20m_over_10m"] = round(
+            timings["kg_triples_20m_sink"]
+            / max(timings["kg_triples_10m_sink"], 1e-9), 3)
+
     optional = []
     try:
         from kg_covid_19_ray.pipelines.relational import (
