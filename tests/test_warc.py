@@ -159,3 +159,44 @@ def test_on_error_skip_salvages_well_framed_records(ray_session, tmp_path):
         W.read_warc(str(d)).count()
     got = W.read_warc(str(d), on_error="skip").to_pandas()
     assert list(got["url"]) == [PAGES[0]["url"]]
+
+
+def test_salvage_metrics_on_corrupted_dump(ray_session, tmp_path):
+    """Round-4 VERDICT item 8: skipped members used to be silent. With
+    metrics_run_id set, each read task taps the shared metrics actor
+    with (pages emitted, records skipped, framing lost), so ingest
+    loss on a deliberately-corrupted dump is observable."""
+    import gzip as _gz
+
+    from kg_covid_19_ray.state.metrics import Metrics
+
+    good = W._warc_record("response", [
+        ("WARC-Target-URI", PAGES[0]["url"]),
+        ("WARC-Date", PAGES[0]["warc_ts"].strftime("%Y-%m-%dT%H:%M:%S.%fZ")),
+        ("Content-Type", "application/http;msgtype=response"),
+    ], b"HTTP/1.1 200 OK\r\nContent-Language: en\r\n\r\n<html>ok</html>")
+    bad_payload = W._warc_record("response", [
+        ("WARC-Target-URI", "https://bad.example/x"),
+        ("WARC-Date", "2026-01-01T00:00:00Z"),
+    ], b"HTTP payload without header terminator")
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    # file 0: one good + one payload-bad record -> 1 page, 1 record skip
+    (d / "crawl-0.warc.gz").write_bytes(_gz.compress(good + bad_payload))
+    # file 1: good record then garbage -> 1 page, 1 framing loss
+    (d / "crawl-1.warc.gz").write_bytes(
+        _gz.compress(good + b"GARBAGE-NOT-A-RECORD"))
+    # file 2: corrupt gzip -> 0 pages, 1 framing loss
+    (d / "crawl-2.warc.gz").write_bytes(b"\x1f\x8bnot really gzip")
+
+    m = Metrics("warc_salvage_test")
+    m.reset()
+    got = W.read_warc(str(d), on_error="skip",
+                      metrics_run_id="warc_salvage_test").to_pandas()
+    assert len(got) == 2
+    snap = m.snapshot()
+    assert snap["warc_pages"]["rows"] == 2
+    assert snap["warc_records_skipped"]["rows"] == 1
+    assert snap["warc_framing_lost"]["rows"] == 2
+    m.reset()
