@@ -64,7 +64,8 @@ def exact_dedup(sf_dir: str) -> ray.data.Dataset:
     # high key cardinality (24.5k distinct fps measured ~14s). Routing
     # by hash(fp) % 64 and reducing each bucket with ONE C-level
     # pyarrow group_by keeps the Python call count at 64.
-    num_buckets = 64
+    from kg_covid_19_ray.stages.dedup import resolve_num_buckets
+    num_buckets = resolve_num_buckets()  # combiner-bounded exchange
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch["fp"], index=False).to_numpy()
@@ -205,7 +206,8 @@ def jaccard_topk_pairs(sf_dir: str) -> ray.data.Dataset:
     pref = ds.map_batches(prefixes, batch_format="pandas")
 
     # candidate pairs per (source, prefix token), bucketed
-    num_buckets = 64
+    from kg_covid_19_ray.stages.dedup import resolve_num_buckets
+    num_buckets = resolve_num_buckets()  # combiner-bounded exchange
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(
@@ -480,7 +482,8 @@ def minhash_near_dups(sf_dir: str,
     # Python call per LSH bucket (O(docs x bands) groups, nearly all
     # singletons); this pays num_buckets calls total (stages/dedup
     # bucketing rationale).
-    num_buckets = 64
+    from kg_covid_19_ray.stages.dedup import resolve_num_buckets
+    num_buckets = resolve_num_buckets()  # combiner-bounded exchange
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch["band_hash"],
@@ -677,7 +680,8 @@ def simhash_near_dups(sf_dir: str) -> ray.data.Dataset:
 
     # same fixed-bucket routing as minhash: one Python call per hash
     # bucket, not per (segment, seg_val) pigeonhole
-    num_buckets = 64
+    from kg_covid_19_ray.stages.dedup import resolve_num_buckets
+    num_buckets = resolve_num_buckets()  # combiner-bounded exchange
 
     def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch[["segment", "seg_val"]],

@@ -102,7 +102,8 @@ def _cooccur_counts(m: ray.data.Dataset):
     import pandas as pd
     import pyarrow as pa
 
-    num_buckets = 64
+    from kg_covid_19_ray.stages.dedup import resolve_num_buckets
+    num_buckets = resolve_num_buckets()  # combiner-bounded exchange
 
     def pairs(batch: pd.DataFrame) -> pd.DataFrame:
         # distinct (doc, curie), sorted: within a doc-run the curies

@@ -33,7 +33,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from kg_covid_19_ray.stages.dedup import DEFAULT_NUM_BUCKETS, _row_bucket
+from kg_covid_19_ray.stages.dedup import (_row_bucket,
+                                          resolve_num_buckets)
 
 EDGE_KEY = ["subject", "predicate", "object", "relation", "provided_by"]
 
@@ -142,13 +143,14 @@ def _union_with_schema_union(tables: list[ray.data.Dataset],
 
 def _first_nonempty_unify(ds: ray.data.Dataset, key: str,
                           order_col: str,
-                          num_buckets: int = DEFAULT_NUM_BUCKETS
+                          num_buckets: int | None = None
                           ) -> ray.data.Dataset:
     """D3 property-merge: one row per key; every column takes its first
     non-empty value in ``order_col`` order. Hash-bucketed two-phase
     reduce (combiner per block, then per-bucket reduce) — same scale
     shape as stages/dedup.first_wins, but merging per COLUMN instead
     of taking the whole first row."""
+    num_buckets = resolve_num_buckets(num_buckets)
 
     def merge_table(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -206,7 +208,7 @@ def _remap_broadcast_max() -> int:
 
 def _subst_column(rows: ray.data.Dataset, key_col: str,
                   mapping: ray.data.Dataset, *,
-                  num_buckets: int = DEFAULT_NUM_BUCKETS
+                  num_buckets: int | None = None
                   ) -> ray.data.Dataset:
     """``rows[key_col] <- mapping.new_id where rows[key_col] ==
     mapping.old_id``, all other columns carried through unchanged.
@@ -217,6 +219,7 @@ def _subst_column(rows: ray.data.Dataset, key_col: str,
     ``hash(old_id) % B``, so every row meets its mapping in its own
     bucket. Empty buckets keep the schema; a hot mapping value costs
     one row per bucket; the mapping never lands on the driver."""
+    num_buckets = resolve_num_buckets(num_buckets)
     schema = rows.schema(fetch_if_missing=True)  # ray.data.Schema
     row_cols = list(schema.names)
     types = dict(zip(schema.names, schema.types))

@@ -447,13 +447,15 @@ def _drop_null_text(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def _sum_token_counts(partials: ray.data.Dataset,
-                      num_buckets: int = 64) -> ray.data.Dataset:
+                      num_buckets: int | None = None) -> ray.data.Dataset:
     """Sum per-block (token, n) partials into global counts with a
     hash-bucket exchange + ONE pyarrow group_by per bucket. Real
     corpora have million-token vocabularies (every typo/id is a
     token), where Ray's ``groupby().aggregate(Sum)`` pays per-GROUP
     Python — measured minutes vs seconds on the 1M-doc bench corpus
     (the NOTES.md reduce rule)."""
+    from kg_covid_19_ray.stages.dedup import resolve_num_buckets
+    num_buckets = resolve_num_buckets(num_buckets)
 
     def bucketed(batch: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(batch["token"],
@@ -473,11 +475,13 @@ def _sum_token_counts(partials: ray.data.Dataset,
 
 def _tfidf_join(ds: ray.data.Dataset, freq: ray.data.Dataset,
                 n_docs: float,
-                num_buckets: int = 64) -> ray.data.Dataset:
+                num_buckets: int | None = None) -> ray.data.Dataset:
     """tfidf's larger-than-heap plan: per-batch (doc, term, tf)
     combiners meet the df table in token-hash buckets, scores are
     computed in-bucket, and one doc-keyed exchange takes the per-doc
     top-k (union-safe: the cut order is the rounded total order)."""
+    from kg_covid_19_ray.stages.dedup import resolve_num_buckets
+    num_buckets = resolve_num_buckets(num_buckets)
 
     def route_tf(batch: pd.DataFrame) -> pd.DataFrame:
         batch = _drop_null_text(batch)
@@ -729,7 +733,7 @@ def _env_broadcast_max(specific_env: str) -> int:
 
 def _lm_surprisal_join(ds: ray.data.Dataset,
                        freq: ray.data.Dataset, total: float,
-                       num_buckets: int = 64) -> ray.data.Dataset:
+                       num_buckets: int | None = None) -> ray.data.Dataset:
     """The larger-than-heap plan: exploded (doc_id, token) rows meet
     the unigram table in token-hash buckets (the merge_kg._subst
     bucketed-merge shape — never Dataset.join); each bucket attaches
@@ -737,6 +741,8 @@ def _lm_surprisal_join(ds: ray.data.Dataset,
     then one doc-keyed exchange finishes the exact int64 reduce.
     Value-identical to the broadcast plan (same per-token rounding,
     integer sums)."""
+    from kg_covid_19_ray.stages.dedup import resolve_num_buckets
+    num_buckets = resolve_num_buckets(num_buckets)
 
     def route_tokens(batch: pd.DataFrame) -> pd.DataFrame:
         batch = _drop_null_text(batch)

@@ -32,7 +32,13 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-DEFAULT_NUM_BUCKETS = 64
+def resolve_num_buckets(num_buckets=None) -> int:
+    """None -> cluster-width-derived count (2x CPUs, floor 4, cap 512
+    via functions.partitions); an int passes through (tests pin it)."""
+    if num_buckets is not None:
+        return num_buckets
+    from kg_covid_19_ray.functions.partitions import derive_num_partitions
+    return derive_num_partitions()
 
 
 def _row_bucket(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
@@ -68,10 +74,11 @@ def _sorted_first_per_key(batch: pa.Table, key_cols: list[str],
 
 
 def first_wins(ds: ray.data.Dataset, key_cols: list[str], order_col: str,
-               *, num_buckets: int = DEFAULT_NUM_BUCKETS) -> ray.data.Dataset:
+               *, num_buckets: int | None = None) -> ray.data.Dataset:
     """Deterministic first-wins dedup: per key keep the row with the
     smallest ``order_col``."""
     keys = list(key_cols)
+    num_buckets = resolve_num_buckets(num_buckets)
 
     def combine(batch: pa.Table) -> pa.Table:
         batch = _sorted_first_per_key(batch, keys, order_col)
@@ -106,7 +113,7 @@ def distinct_within_blocks(ds: ray.data.Dataset,
 
 
 def assert_blockwise_unique(ds: ray.data.Dataset, cols: list[str],
-                            *, num_buckets: int = DEFAULT_NUM_BUCKETS
+                            *, num_buckets: int | None = None
                             ) -> int:
     """Runtime guard for ``distinct_within_blocks``'s co-partitioning
     assumption: verifies no key appears in more than one block by
@@ -127,10 +134,11 @@ def assert_blockwise_unique(ds: ray.data.Dataset, cols: list[str],
 
 
 def distinct(ds: ray.data.Dataset, cols: list[str],
-             *, num_buckets: int = DEFAULT_NUM_BUCKETS) -> ray.data.Dataset:
+             *, num_buckets: int | None = None) -> ray.data.Dataset:
     """Exact distinct on a column subset (edge dedup D2: one edge per
     composite key). Other columns are dropped."""
     keys = list(cols)
+    num_buckets = resolve_num_buckets(num_buckets)
 
     def per_batch(batch: pa.Table) -> pa.Table:
         if batch.schema.metadata:
