@@ -26,7 +26,7 @@ def entry() -> Any:
 
 PIPELINE_MODULES = ("relational_queries", "textops", "dedup_ops",
                     "similarity", "holdouts", "multimodal", "windowed",
-                    "sketches")
+                    "sketches", "webops")
 
 # Registry order = driver verification order (a time-budgeted sweep
 # covers a prefix). Queries whose SEMANTICS changed this round run

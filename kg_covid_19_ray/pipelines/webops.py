@@ -1,0 +1,336 @@
+"""Web-corpus operators: URL canonicalization + dedup, and CCNet-style
+line-level boilerplate removal.
+
+Two classic web-pipeline stages the KG reference has no analog for
+(cited instead from the public pipeline literature: CCNet's paragraph
+dedup and the URL-normalization step every crawl dedup runs before
+content hashing):
+
+- ``web_url_dedup``: canonicalize messy URLs (lowercase host, strip
+  default port, drop fragment, drop ``utm_*`` tracking params, sort
+  the remaining query params) and keep one doc per canonical URL.
+  The messy URLs are synthesized DETERMINISTICALLY from the documents
+  table (same expression in the DuckDB oracle), so the interesting
+  logic — the string-level canonicalizer and the distributed dedup —
+  is fully value-checked.
+- ``text_line_dedup``: split each doc into fixed-width pseudo-lines
+  (LINE_TOKENS tokens), count per-line document frequency across the
+  corpus, drop lines appearing in >= BOILERPLATE_MIN_DOCS docs
+  (boilerplate), and emit per-doc (n_lines, n_kept, md5 of the
+  reassembled cleaned text). Near-duplicate docs in the fixture corpus
+  share most of their lines, so real boilerplate exists at sf scales.
+
+Distributed shapes: every exchange is hash-bucketed with per-batch
+combiners (the stages/dedup reduce rule — Ray's groupby().aggregate()
+pays per-GROUP Python); nothing is broadcast or driver-collected. The
+line-frequency reduce and the boilerplate-flag attach share the
+hash(line) key (two exchanges today; a co-partitioned planner could
+fuse them), and reassembly is one doc-keyed exchange.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
+from kg_covid_19_ray.stages.dedup import resolve_num_buckets
+
+# ------------------------------------------------------- url dedup
+
+
+def _messy_urls(batch: pd.DataFrame) -> pd.Series:
+    """Deterministic messy-URL synthesis from (doc_id, source) — the
+    SQL oracle builds the identical strings. Mixed-case host, default
+    port, utm tracking param, unsorted params, fragment."""
+    d = batch["doc_id"].to_numpy()
+    src = batch["source"].to_numpy().astype("U16")
+    www = np.where(d % 5 == 0, "WWW.", "www.").astype("U4")
+    port = np.where(d % 7 == 0, ":443", "").astype("U4")
+    q = np.where(d % 2 == 0, "?utm_source=feed&ref=", "?ref=").astype("U24")
+    frag = np.where(d % 3 == 0,
+                    np.char.add("#sec", (d % 4).astype("U1")), "")
+    url = np.char.add("https://", www)
+    url = np.char.add(url, src)
+    url = np.char.add(url, ".example.com")
+    url = np.char.add(url, port)
+    url = np.char.add(url, np.char.add("/p/", (d // 50).astype("U20")))
+    url = np.char.add(url, np.char.add(q, (d % 2).astype("U1")))
+    url = np.char.add(url, frag)
+    return pd.Series(url, index=batch.index)
+
+
+def canonicalize_urls(urls: pd.Series) -> pd.Series:
+    """String-level URL canonicalization, vectorized: strip fragment,
+    lowercase scheme+host, strip the https default port, drop utm_*
+    params, sort the survivors. Param reassembly explodes all params
+    to one flat frame and rebuilds per row (no per-row Python beyond
+    the final join of <= a handful of params)."""
+    s = urls.str.replace(r"#.*$", "", regex=True)
+    parts = s.str.partition("?")
+    base, qs = parts[0], parts[2]
+    m = base.str.extract(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)(.*)$")
+    cbase = (m[0].str.lower().str.replace(r":443$", "", regex=True)
+             + m[1].fillna(""))
+
+    plists = qs.str.split("&")
+    counts = np.where(qs.to_numpy() == "", 0,
+                      plists.str.len().fillna(0).to_numpy()).astype(int)
+    rows = np.repeat(np.arange(len(qs)), counts)
+    flat = np.concatenate(
+        [p for p, c in zip(plists, counts) if c > 0]) if counts.sum() \
+        else np.array([], dtype=object)
+    keep = ~pd.Series(flat).str.startswith("utm_").to_numpy(dtype=bool) \
+        if len(flat) else np.array([], dtype=bool)
+    rows, flat = rows[keep], flat[keep]
+    order = np.lexsort((flat, rows))
+    rows, flat = rows[order], flat[order]
+    joined = pd.Series(flat).groupby(rows).agg("&".join)
+    cqs = pd.Series("", index=np.arange(len(qs)))
+    cqs.loc[joined.index] = joined.to_numpy()
+    return (cbase.to_numpy()
+            + np.where(cqs.to_numpy() != "", "?", "")
+            + cqs.to_numpy())
+
+
+def web_url_dedup(sf_dir: str) -> ray.data.Dataset:
+    """One row per canonical URL: the canonical string, the kept
+    (minimum) doc_id, and the duplicate count — the crawl-frontier
+    dedup that runs before any content hashing. Per-batch combiner
+    (group by canonical URL inside the batch) then a hash-bucketed
+    C-level reduce; exchange carries one row per (url, block)."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+    num_buckets = resolve_num_buckets()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        canon = canonicalize_urls(_messy_urls(batch))
+        g = pd.DataFrame({"canon_url": canon,
+                          "doc_id": batch["doc_id"].to_numpy()}) \
+            .groupby("canon_url", sort=False)["doc_id"] \
+            .agg(["min", "count"]).reset_index()
+        g = g.rename(columns={"min": "keep_doc_id", "count": "n_docs"})
+        h = pd.util.hash_pandas_object(g["canon_url"],
+                                       index=False).to_numpy()
+        g["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return g
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        agg = t.group_by("canon_url", use_threads=False).aggregate(
+            [("keep_doc_id", "min"), ("n_docs", "sum")])
+        remap = {"keep_doc_id_min": "keep_doc_id", "n_docs_sum": "n_docs"}
+        agg = agg.rename_columns(
+            [remap.get(c, c) for c in agg.column_names])
+        return agg.select(["canon_url", "keep_doc_id", "n_docs"])
+
+    return ds.map_batches(partial, batch_format="pandas") \
+             .groupby("__bucket") \
+             .map_groups(reduce_bucket, batch_format="pyarrow")
+
+
+WEB_URL_DEDUP_SQL = """
+WITH urls AS (
+  SELECT doc_id,
+    'https://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE 'www.' END)
+      || source || '.example.com'
+      || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+      || '/p/' || CAST(doc_id // 50 AS VARCHAR)
+      || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref='
+          ELSE '?ref=' END)
+      || CAST(doc_id % 2 AS VARCHAR)
+      || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+          ELSE '' END) AS url
+  FROM documents
+), nofrag AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls
+), split AS (
+  SELECT doc_id,
+    CASE WHEN strpos(u, '?') > 0 THEN substr(u, 1, strpos(u, '?') - 1)
+         ELSE u END AS base,
+    CASE WHEN strpos(u, '?') > 0 THEN substr(u, strpos(u, '?') + 1)
+         ELSE '' END AS qs
+  FROM nofrag
+), canon AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', 0)),
+                   ':443$', '')
+      || regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') AS cbase,
+    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                                          x -> NOT starts_with(x, 'utm_'))),
+                    '&') AS cqs
+  FROM split
+)
+SELECT cbase || (CASE WHEN cqs <> '' THEN '?' || cqs ELSE '' END)
+         AS canon_url,
+       min(doc_id) AS keep_doc_id, count(*) AS n_docs
+FROM canon GROUP BY 1
+"""
+
+# -------------------------------------------------- line-level dedup
+
+LINE_TOKENS = 8
+BOILERPLATE_MIN_DOCS = 2
+
+
+def _explode_lines(batch: pa.Table) -> pd.DataFrame:
+    """(doc_id, text) rows -> (doc_id, line_idx, line) with lines =
+    consecutive LINE_TOKENS-token chunks. Token split and offsets are
+    Arrow kernels; line strings are reassembled with one grouped join
+    (the only Python-level step, one call per LINE, not per token)."""
+    keep = pc.is_valid(batch["text"])
+    batch = batch.filter(keep)
+    if batch.num_rows == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "line_idx": pd.Series([], dtype=np.int64),
+                             "line": pd.Series([], dtype=object)})
+    toks = pc.split_pattern(batch["text"], " ")
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks).to_pandas().to_numpy()
+    doc = np.repeat(batch["doc_id"].to_numpy(), lens)
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    tok_idx = np.arange(len(flat)) - starts
+    line_idx = tok_idx // LINE_TOKENS
+    df = pd.DataFrame({"doc_id": doc, "line_idx": line_idx, "tok": flat})
+    lines = df.groupby(["doc_id", "line_idx"], sort=False)["tok"] \
+              .agg(" ".join).reset_index().rename(columns={"tok": "line"})
+    return lines
+
+
+def text_line_dedup(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style line-level boilerplate removal. Per doc: total line
+    count, kept line count, and md5 of the cleaned text (kept lines in
+    original order, space-joined; empty docs hash ''). A line is
+    boilerplate when it occurs in >= BOILERPLATE_MIN_DOCS distinct
+    docs — near-duplicate docs share most lines, so the fixture corpus
+    has real boilerplate.
+
+    Three bucketed exchanges, all combiner-bounded or key-partitioned:
+    (1) line doc-frequency — per-batch distinct (line, doc) counts,
+    hash(line) buckets, one pyarrow group_by per bucket; (2) flag
+    attach — lines and the (small, frequency-filtered) boilerplate
+    line set co-routed by hash(line), flag set per bucket with a
+    vectorized isin; (3) per-doc reassembly keyed by hash(doc)."""
+    num_buckets = resolve_num_buckets()
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    lines = ds.map_batches(_explode_lines, batch_format="pyarrow")
+
+    def _line_bucket(s: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        return (h % np.uint64(num_buckets)).astype(np.int64)
+
+    # (1) per-line document frequency
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch.drop_duplicates(["doc_id", "line"])
+        g = d.groupby("line", sort=False).size().reset_index(name="nd")
+        g["__bucket"] = _line_bucket(g["line"])
+        return g
+
+    def df_reduce(t: pa.Table) -> pa.Table:
+        agg = t.group_by("line", use_threads=False).aggregate(
+            [("nd", "sum")])
+        agg = agg.rename_columns(
+            ["line" if c == "line" else "nd" for c in agg.column_names])
+        # keep only boilerplate lines: the downstream side is the
+        # frequency-filtered set, not the whole line vocabulary
+        mask = pc.greater_equal(agg["nd"],
+                                pa.scalar(BOILERPLATE_MIN_DOCS))
+        return agg.filter(mask).select(["line"]) \
+                  .append_column("is_bp", pa.array(
+                      [True] * int(pc.sum(pc.cast(mask, pa.int64()))
+                                   .as_py() or 0)))
+
+    bp = lines.map_batches(df_partial, batch_format="pandas") \
+              .groupby("__bucket") \
+              .map_groups(df_reduce, batch_format="pyarrow")
+
+    # (2) co-route lines and boilerplate set by hash(line)
+    def route_lines(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype(np.int64),
+            "line_idx": batch["line_idx"].astype(np.int64),
+            "line": batch["line"],
+            "side": np.int8(0),
+            "__bucket": _line_bucket(batch["line"]),
+        })
+
+    def route_bp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": np.full(len(batch), -1, np.int64),
+            "line_idx": np.full(len(batch), -1, np.int64),
+            "line": batch["line"],
+            "side": np.int8(1),
+            "__bucket": _line_bucket(batch["line"]),
+        })
+
+    def attach_flag(g: pd.DataFrame) -> pd.DataFrame:
+        bp_set = g.loc[g["side"] == 1, "line"]
+        rows = g[g["side"] == 0]
+        return pd.DataFrame({
+            "doc_id": rows["doc_id"].to_numpy(),
+            "line_idx": rows["line_idx"].to_numpy(),
+            "line": rows["line"].to_numpy(),
+            "is_bp": rows["line"].isin(set(bp_set)).to_numpy(),
+        })
+
+    routed = lines.map_batches(route_lines, batch_format="pandas") \
+        .union(bp.map_batches(route_bp, batch_format="pandas"))
+    flagged = routed.groupby("__bucket").map_groups(
+        attach_flag, batch_format="pandas")
+
+    # (3) per-doc reassembly
+    def add_doc_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bucket"] = _line_bucket(batch["doc_id"])
+        return batch
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "line_idx"], kind="mergesort")
+        out = []
+        for doc_id, grp in g.groupby("doc_id", sort=False):
+            kept = grp.loc[~grp["is_bp"], "line"]
+            out.append((doc_id, len(grp), len(kept),
+                        hashlib.md5(" ".join(kept).encode()).hexdigest()))
+        return pd.DataFrame(out, columns=["doc_id", "n_lines", "n_kept",
+                                          "clean_fp"]) \
+            .astype({"doc_id": np.int64, "n_lines": np.int64,
+                     "n_kept": np.int64})
+
+    return flagged.map_batches(add_doc_bucket, batch_format="pandas") \
+        .groupby("__bucket").map_groups(assemble, batch_format="pandas")
+
+
+TEXT_LINE_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk
+  FROM documents WHERE text IS NOT NULL
+), lines AS (
+  SELECT doc_id, u.l AS line_idx,
+         array_to_string(tk[(u.l*{LINE_TOKENS}+1):(u.l*{LINE_TOKENS}+{LINE_TOKENS})], ' ') AS line
+  FROM toks,
+       UNNEST(range(0, CAST(ceil(len(tk)/{LINE_TOKENS}.0) AS BIGINT))) AS u(l)
+), bp AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+), flagged AS (
+  SELECT l.doc_id, l.line_idx, l.line, (b.line IS NOT NULL) AS is_bp
+  FROM lines l LEFT JOIN bp b USING (line)
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       sum(CASE WHEN NOT is_bp THEN 1 ELSE 0 END) AS n_kept,
+       md5(coalesce(string_agg(CASE WHEN NOT is_bp THEN line END, ' '
+                               ORDER BY line_idx), '')) AS clean_fp
+FROM flagged GROUP BY doc_id
+"""
+
+
+REGISTRY = {
+    "web_url_dedup": (web_url_dedup, WEB_URL_DEDUP_SQL),
+    "text_line_dedup": (text_line_dedup, TEXT_LINE_DEDUP_SQL),
+}

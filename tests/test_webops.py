@@ -1,0 +1,70 @@
+"""Web-corpus operators: URL canonicalization + dedup, CCNet-style
+line-level boilerplate removal (pipelines/webops)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from kg_covid_19_ray.pipelines import webops
+
+
+def test_canonicalize_urls_cases():
+    urls = pd.Series([
+        "https://WWW.Site.Example.com:443/p/1?utm_source=feed&b=2&a=1#frag",
+        "https://www.site.example.com/p/1?a=1&b=2",
+        "http://host.example/x",                       # no query, no frag
+        "https://h.example/p?utm_a=1&utm_b=2",         # all params dropped
+        "https://h.example:4430/p",                    # NOT the default port
+    ])
+    got = list(webops.canonicalize_urls(urls))
+    assert got[0] == "https://www.site.example.com/p/1?a=1&b=2"
+    assert got[0] == got[1]                      # messy == already-clean
+    assert got[2] == "http://host.example/x"
+    assert got[3] == "https://h.example/p"
+    assert got[4] == "https://h.example:4430/p"  # 4430 endswith 443: kept
+
+
+def test_web_url_dedup_finds_planted_dupes(ray_session):
+    out = webops.web_url_dedup("/root/testdata/sf0.001").to_pandas()
+    assert (out["n_docs"] >= 1).all()
+    assert (out["n_docs"] > 1).any()             # real collisions exist
+    # keep_doc_id is the min of its group: every kept id is distinct
+    # and the kept ids of dupe groups are smaller than the group size
+    assert out["keep_doc_id"].is_unique
+    assert out["n_docs"].sum() == 500            # every doc accounted for
+
+
+def test_text_line_dedup_planted_boilerplate(ray_session, tmp_path):
+    """Two docs share an 8-token line (boilerplate at MIN_DOCS=2); a
+    third is unique. Kept text hashes match a hand computation."""
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7"
+    uniq1 = "u0 u1 u2 u3 u4 u5 u6 u7"
+    uniq2 = "v0 v1 v2 v3 v4 v5 v6 v7"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [f"{boiler} {uniq1}", f"{boiler} {uniq2}", uniq1],
+        "lang": "x", "source": "s0", "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = webops.text_line_dedup(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert list(out["n_lines"]) == [2, 2, 1]
+    # boiler line is in docs 0 and 1 (dropped); uniq1 is ALSO in two
+    # docs (doc 0's second line and doc 2's only line) -> dropped too
+    assert list(out["n_kept"]) == [0, 1, 0]
+    assert out.loc[1, "clean_fp"] == hashlib.md5(uniq2.encode()).hexdigest()
+    assert out.loc[0, "clean_fp"] == hashlib.md5(b"").hexdigest()
+
+
+def test_text_line_dedup_null_text_absent(ray_session, tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a b c", None],
+        "lang": "x", "source": "s0", "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = webops.text_line_dedup(str(tmp_path)).to_pandas()
+    assert list(out["doc_id"]) == [0]            # NULL text emits no row
