@@ -432,6 +432,15 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
                   lambda: minhash_near_dups(big_root,
                                             verify="join").count(),
                   reps=1)
+            # round-5 web-corpus ops at 1M docs: URL canonical dedup
+            # and CCNet-style line-level boilerplate removal (three
+            # bucketed exchanges incl. per-doc reassembly)
+            from kg_covid_19_ray.pipelines.webops import (text_line_dedup,
+                                                          web_url_dedup)
+            timed("url_dedup_big",
+                  lambda: web_url_dedup(big_root).count(), reps=1)
+            timed("line_dedup_big",
+                  lambda: text_line_dedup(big_root).count(), reps=1)
         except ImportError:
             pass
 
