@@ -240,11 +240,16 @@ def jaccard_topk_pairs(sf_dir: str) -> ray.data.Dataset:
     from kg_covid_19_ray.stages.dedup import distinct
     cand = distinct(cand, ["doc_a", "doc_b"])
 
-    # exact verification via the join path (no corpus broadcast)
+    # exact verification via the join path (no corpus broadcast).
+    # NOTE: a plain read here, NOT read_parquet_clean — an
+    # explicit-schema read feeding the native hash join measured 1.4x
+    # slower end-to-end on dedup_minhash_big (same finding there); the
+    # prep stage below strips the metadata before the join anyway, so
+    # the aggregators keep their schema-dedup fast path.
     from kg_covid_19_ray.functions.arrow_meta import (stripped,
                                                       strip_schema_metadata)
     from kg_covid_19_ray.functions.partitions import derive_join_partitions
-    docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
     nparts = derive_join_partitions()
 
@@ -525,7 +530,12 @@ def minhash_near_dups(sf_dir: str,
     if verify == "join":
         from kg_covid_19_ray.functions.arrow_meta import (
             stripped, strip_schema_metadata)
-        docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+        # plain read, NOT read_parquet_clean: the explicit-schema read
+        # feeding the native hash join cost 1.4x end-to-end, measured
+        # on this entry (dedup_minhash_big 36s plain vs 50-63s clean,
+        # interleaved runs); prep() strips the metadata pre-join, so
+        # only the read task's own SplitBlocks pays the hash fallback
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                      columns=["doc_id", "text"])
 
         # pyarrow rename + metadata strip: hashable join-input schemas
