@@ -133,3 +133,37 @@ def test_minhash_clusters_properties(ray_session):
     in_pairs = set(pairs["doc_a"]) | set(pairs["doc_b"])
     singles = cl[~cl["doc_id"].isin(in_pairs)]
     assert (singles["canon_doc"] == singles["doc_id"]).all()
+
+
+def test_resolve_num_buckets_and_invariance(ray_session):
+    """Round-5: bucket counts for combiner-bounded exchanges derive
+    from cluster width when not pinned (resolve_num_buckets(None)),
+    and results are bucket-count-INVARIANT — buckets are internal
+    exchange keys dropped before output."""
+    import pandas as pd
+    import ray.data
+
+    from kg_covid_19_ray.stages.dedup import (distinct, first_wins,
+                                              resolve_num_buckets)
+
+    assert resolve_num_buckets(7) == 7          # explicit pin wins
+    assert resolve_num_buckets(None) >= 4       # derived, floored
+
+    df = pd.DataFrame({
+        "k": [f"k{i % 13}" for i in range(200)],
+        "v": [f"v{i}" for i in range(200)],
+        "ord": list(range(200)),
+    })
+    ds = ray.data.from_pandas(df).repartition(7)
+
+    def norm(d):
+        return d.sort_values(list(d.columns)).reset_index(drop=True)
+
+    base_d = norm(distinct(ds, ["k"], num_buckets=3).to_pandas())
+    base_f = norm(first_wins(ds, ["k"], "ord", num_buckets=3).to_pandas())
+    for nb in (1, 64, None):
+        got_d = norm(distinct(ds, ["k"], num_buckets=nb).to_pandas())
+        got_f = norm(first_wins(ds, ["k"], "ord",
+                                num_buckets=nb).to_pandas())
+        pd.testing.assert_frame_equal(base_d, got_d)
+        pd.testing.assert_frame_equal(base_f, got_f[base_f.columns])
