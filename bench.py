@@ -424,6 +424,11 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
                 text_decontaminate, text_lm_surprisal)
             timed("text_decon_big",
                   lambda: text_decontaminate(big_root).count(), reps=1)
+            # bloom-prefilter plan forced (the larger-than-heap
+            # eval-suite path): candidates only through the verify join
+            timed("text_decon_bloom_big",
+                  lambda: text_decontaminate(
+                      big_root, broadcast_max=0).count(), reps=1)
             timed("text_surprisal_big",
                   lambda: text_lm_surprisal(big_root).count(), reps=1)
             # join-based verification: the web-scale path (no driver

@@ -15,6 +15,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from kg_covid_19_ray.functions.arrow_meta import read_parquet_clean
 
@@ -657,29 +658,118 @@ def _doc_ngrams(batch: pd.DataFrame, n: int) -> pd.DataFrame:
                          "g": g.to_numpy()})[ok.to_numpy()]
 
 
-def text_decontaminate(sf_dir: str) -> ray.data.Dataset:
+# Bloom plan sizing: bits-per-gram (16 -> ~0.05% fp rate with k=4)
+# and hash count. fp's are removed by exact verification, so these
+# only tune how much of the corpus survives the prefilter.
+_BLOOM_BITS_PER_GRAM = 16
+_BLOOM_K = 4
+DECON_BROADCAST_MAX = 5_000_000  # bench grams; above -> bloom plan
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public-domain splitmix64 finalizer):
+    derives the second hash for double hashing from the first."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(30)))
+         * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(27)))
+         * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    return (x ^ (x >> np.uint64(31))).astype(np.uint64)
+
+
+def _bloom_positions(grams: pd.Series, bits_log2: int,
+                     h1: np.ndarray | None = None) -> np.ndarray:
+    """(n, _BLOOM_K) bit positions via double hashing h1 + i*h2.
+    ``h1`` lets the caller reuse an existing hash pass (string hashing
+    dominates the prefilter cost at corpus scale)."""
+    if h1 is None:
+        h1 = pd.util.hash_pandas_object(grams, index=False).to_numpy()
+    h2 = _splitmix64(h1) | np.uint64(1)  # odd -> full cycle
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    mask = np.uint64((1 << bits_log2) - 1)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) & mask)
+
+
+def _bloom_build(grams: pd.Series) -> tuple[np.ndarray, int]:
+    """-> (uint64 word array, bits_log2). Size = next power of two of
+    _BLOOM_BITS_PER_GRAM x n_grams (>= 2^16)."""
+    n = max(len(grams), 1)
+    bits_log2 = max(16, int(np.ceil(np.log2(n * _BLOOM_BITS_PER_GRAM))))
+    words = np.zeros(1 << (bits_log2 - 6), dtype=np.uint64)
+    pos = _bloom_positions(grams, bits_log2).reshape(-1)
+    np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (pos & np.uint64(63)))
+    return words, bits_log2
+
+
+def _bloom_member(words: np.ndarray, bits_log2: int,
+                  grams: pd.Series,
+                  h1: np.ndarray | None = None) -> np.ndarray:
+    pos = _bloom_positions(grams, bits_log2, h1)
+    bit = (words[(pos >> np.uint64(6)).astype(np.int64)]
+           >> (pos & np.uint64(63))) & np.uint64(1)
+    return bit.all(axis=1)
+
+
+def _decon_bench_grams_ds(sf_dir: str) -> ray.data.Dataset:
+    """The benchmark gram set as a DATASET (distinct grams), for the
+    bloom plan's exact-verification side — never driver-collected."""
+    bench = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=(pc.field("doc_id") < DECON_BENCH_DOCS))
+
+    def grams(batch: pd.DataFrame) -> pd.DataFrame:
+        g = _doc_ngrams(batch, DECON_NGRAM)[["g"]].drop_duplicates()
+        return g
+
+    from kg_covid_19_ray.stages.dedup import distinct
+    return distinct(bench.map_batches(grams, batch_format="pandas"),
+                    ["g"])
+
+
+def text_decontaminate(sf_dir: str, *,
+                       broadcast_max: int | None = None
+                       ) -> ray.data.Dataset:
     """Benchmark DECONTAMINATION: per doc, how many of its
     ``DECON_NGRAM``-token windows appear in the benchmark set's
     n-grams (the GPT-3/Llama-style eval-overlap check; a training
     pipeline drops or scrubs docs with hits). The stand-in benchmark
     is the first ``DECON_BENCH_DOCS`` documents — deterministic and
     SQL-reproducible; a real eval set slots in as the same small
-    side. Benchmark n-grams are corpus-tiny by construction and
-    broadcast via ``ray.put``; the corpus pass is one streaming
-    vectorized window scan (no joins, no shuffle). Output: one
-    (doc_id, n_hits) row per document (benchmark docs self-hit)."""
+    side. Output: one (doc_id, n_hits) row per document (benchmark
+    docs self-hit).
+
+    Dual physical plan, routed by benchmark gram count
+    (``KG_RAY_DECON_BROADCAST_MAX``): at or below the threshold the
+    exact gram set is broadcast via ``ray.put`` and the corpus pass is
+    one streaming window scan (no joins). Above it — eval suites too
+    large for every worker's heap — a BLOOM prefilter (numeric uint64
+    word array, cheap to ship and deserialize) marks candidate
+    windows, and only candidates flow through a hash(gram)-bucketed
+    exact verification against the distributed bench-gram table, so
+    false positives are removed and the plans are value-identical
+    (plan parity pinned by test)."""
+    import os
+
     import ray
 
     import pyarrow.dataset as pads
     bench_tbl = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
         columns=["doc_id", "text"],
         filter=pads.field("doc_id") < DECON_BENCH_DOCS)
-    bench_grams = frozenset(
-        _doc_ngrams(bench_tbl.to_pandas(), DECON_NGRAM)["g"])
-    bench_ref = ray.put(bench_grams)
+    bench_gram_series = _doc_ngrams(
+        bench_tbl.to_pandas(), DECON_NGRAM)["g"].drop_duplicates()
+    if broadcast_max is None:
+        broadcast_max = int(os.environ.get("KG_RAY_DECON_BROADCAST_MAX")
+                            or DECON_BROADCAST_MAX)
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
+
+    if len(bench_gram_series) > broadcast_max:
+        return _decontaminate_bloom(sf_dir, ds, bench_gram_series)
+
+    bench_ref = ray.put(frozenset(bench_gram_series))
 
     def hits(batch: pd.DataFrame) -> pd.DataFrame:
         bench = ray.get(bench_ref)
@@ -691,6 +781,128 @@ def text_decontaminate(sf_dir: str) -> ray.data.Dataset:
                              "n_hits": out.to_numpy(np.int64)})
 
     return ds.map_batches(hits, batch_format="pandas")
+
+
+def _decontaminate_bloom(sf_dir: str, ds: ray.data.Dataset,
+                         bench_gram_series: pd.Series
+                         ) -> ray.data.Dataset:
+    """The larger-than-heap plan: Bloom prefilter + exact verify.
+    NOTE the bloom ARRAY is built driver-side from the bench gram
+    stream (one pass; only the fixed-size bit array is retained and
+    broadcast — at 16 bits/gram a 1B-gram eval suite is a 2GB array,
+    sharded ``ray.put`` territory but never a Python set). Candidate
+    (doc_id, gram) windows — true hits plus the bloom's ~0.05% false
+    positives — are verified exactly against the distributed bench
+    gram table in hash(gram) buckets; per-doc counts finish with a
+    combiner + bucketed reduce; docs with zero candidates are restored
+    via a left reindex against the corpus doc_ids."""
+    import ray
+
+    from kg_covid_19_ray.stages.dedup import resolve_num_buckets
+    words, bits_log2 = _bloom_build(bench_gram_series)
+    bloom_ref = ray.put(words)
+    num_buckets = resolve_num_buckets()
+
+    def candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(bloom_ref)
+        grams = _doc_ngrams(batch, DECON_NGRAM)
+        # ONE string-hash pass: h1 drives the bloom probes AND the
+        # bucket routing of the survivors (string hashing dominates
+        # the prefilter at corpus scale)
+        h1 = pd.util.hash_pandas_object(grams["g"],
+                                        index=False).to_numpy()
+        member = _bloom_member(w, bits_log2, grams["g"], h1)
+        cand = grams[member]
+        return pd.DataFrame({
+            "doc_id": cand["doc_id"].to_numpy(),
+            "g": cand["g"].to_numpy(),
+            "side": np.int8(0),
+            "__bucket": (h1[member]
+                         % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def bench_side(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["g"],
+                                       index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": np.full(len(batch), -1, np.int64),
+            "g": batch["g"],
+            "side": np.int8(1),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        bench = set(g.loc[g["side"] == 1, "g"])
+        rows = g[g["side"] == 0]
+        hit = rows[rows["g"].isin(bench)]
+        n = hit.groupby("doc_id", sort=False).size().reset_index(
+            name="n_hits")
+        n["n_hits"] = n["n_hits"].astype(np.int64)
+        return n
+
+    routed = ds.map_batches(candidates, batch_format="pandas").union(
+        _decon_bench_grams_ds(sf_dir).map_batches(
+            bench_side, batch_format="pandas"))
+    partial = routed.groupby("__bucket").map_groups(
+        verify, batch_format="pandas")
+
+    # per-doc sum across buckets + restore zero-hit docs
+    def add_doc_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["doc_id"],
+                                       index=False).to_numpy()
+        batch = batch.copy()
+        batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return batch
+
+    def reduce_doc(t: pa.Table) -> pa.Table:
+        agg = t.group_by("doc_id", use_threads=False).aggregate(
+            [("n_hits", "sum")])
+        return pa.table({"doc_id": agg["doc_id"],
+                         "n_hits": pc.cast(agg["n_hits_sum"],
+                                           pa.int64())})
+
+    counts = partial.map_batches(add_doc_bucket, batch_format="pandas") \
+        .groupby("__bucket").map_groups(reduce_doc,
+                                        batch_format="pyarrow")
+
+    def zero_fill(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"].astype(np.int64),
+                             "side": np.int8(0)})
+
+    # left join counts onto the full doc_id set via one more bucketed
+    # co-route (docs without candidates must appear with n_hits = 0)
+    def route_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["doc_id"],
+                                       index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype(np.int64),
+            "n_hits": batch["n_hits"].astype(np.int64),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def route_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["doc_id"],
+                                       index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype(np.int64),
+            "n_hits": np.full(len(batch), -1, np.int64),  # marker
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        counts_g = g[g["n_hits"] >= 0]
+        docs_g = g.loc[g["n_hits"] < 0, ["doc_id"]]
+        m = dict(zip(counts_g["doc_id"], counts_g["n_hits"]))
+        out = docs_g["doc_id"].map(m).fillna(0).astype(np.int64)
+        return pd.DataFrame({"doc_id": docs_g["doc_id"].to_numpy(),
+                             "n_hits": out.to_numpy()})
+
+    all_docs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"])
+    merged = counts.map_batches(route_counts, batch_format="pandas") \
+        .union(all_docs.map_batches(route_docs, batch_format="pandas"))
+    return merged.groupby("__bucket").map_groups(
+        finish, batch_format="pandas")
 
 
 TEXT_DECONTAMINATE_SQL = f"""

@@ -445,3 +445,33 @@ def test_dedup_embedding_chunk_plan_matches(ray_session):
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
     assert (a["vec_id"] != a["canon_id"]).any()  # a real dup is found
+
+
+def test_decontaminate_bloom_plan_matches(ray_session):
+    """broadcast_max=0 forces the Bloom-prefilter + exact-verify plan
+    (the larger-than-heap eval-suite path); false positives are
+    removed by the bucketed verification, so the plans are
+    value-identical."""
+    sf = "/root/testdata/sf0.001"
+    a = textops.text_decontaminate(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = textops.text_decontaminate(sf, broadcast_max=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert (a["n_hits"] > 0).any()   # benchmark docs self-hit
+
+
+def test_bloom_filter_no_false_negatives():
+    """Bloom prefilter invariant: every inserted gram is a member
+    (false negatives impossible); false-positive rate is within an
+    order of magnitude of the design point."""
+    import numpy as np
+
+    from kg_covid_19_ray.pipelines.textops import (_bloom_build,
+                                                   _bloom_member)
+    grams = pd.Series([f"g{i} x y z w" for i in range(10_000)])
+    words, bits_log2 = _bloom_build(grams)
+    assert _bloom_member(words, bits_log2, grams).all()
+    probe = pd.Series([f"absent{i} a b c d" for i in range(100_000)])
+    fp = _bloom_member(words, bits_log2, probe).mean()
+    assert fp < 0.005                # design point ~0.0005 at 16 b/g
