@@ -333,3 +333,75 @@ REGISTRY = {
     "web_url_dedup": (web_url_dedup, WEB_URL_DEDUP_SQL),
     "text_line_dedup": (text_line_dedup, TEXT_LINE_DEDUP_SQL),
 }
+
+# ------------------------------------------------------- PII scrub
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+def text_scrub_pii(sf_dir: str) -> ray.data.Dataset:
+    """Dolma-style PII scrubbing: count and mask email / phone
+    occurrences per document, emit the scrubbed text's md5. PII is
+    INJECTED deterministically from doc_id (the documents fixture has
+    none) with the identical expression in the SQL oracle, so the
+    operator under test is the vectorized regex count + masked
+    replace — one streaming ``map_batches``, no exchange. The regex
+    subset used is semantically identical between Python ``re`` and
+    DuckDB's RE2 (character classes + bounded repetition only)."""
+    import hashlib as _hl
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy()
+        email = np.where(
+            d % 4 == 0,
+            pd.Series(np.char.add(np.char.add(
+                " contact user", d.astype("U20")),
+                np.char.add(np.char.add("@mail", (d % 7).astype("U1")),
+                            ".com now"))), "")
+        phone = np.where(
+            d % 5 == 0,
+            pd.Series(" call 555-"
+                      + pd.Series(d % 10000).astype(str).str.zfill(4)
+                      + " today"), "")
+        t = batch["text"].fillna("") + email + phone
+        n_emails = t.str.count(_EMAIL_RE).to_numpy(np.int64)
+        n_phones = t.str.count(_PHONE_RE).to_numpy(np.int64)
+        clean = t.str.replace(_EMAIL_RE, "<EMAIL>", regex=True) \
+                 .str.replace(_PHONE_RE, "<PHONE>", regex=True)
+        return pd.DataFrame({
+            "doc_id": d,
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "clean_fp": [_hl.md5(s.encode()).hexdigest() for s in clean],
+        })
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+TEXT_SCRUB_PII_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 4 = 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com now'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+        THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || ' today'
+        ELSE '' END) AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_fp
+FROM aug
+"""
+
+REGISTRY["text_scrub_pii"] = (text_scrub_pii, TEXT_SCRUB_PII_SQL)

@@ -68,3 +68,17 @@ def test_text_line_dedup_null_text_absent(ray_session, tmp_path):
     docs.to_parquet(tmp_path / "documents.parquet")
     out = webops.text_line_dedup(str(tmp_path)).to_pandas()
     assert list(out["doc_id"]) == [0]            # NULL text emits no row
+
+
+def test_text_scrub_pii_masks_and_counts(ray_session):
+    out = webops.text_scrub_pii("/root/testdata/sf0.001").to_pandas() \
+        .set_index("doc_id").sort_index()
+    # injection schedule: email for doc_id%4==0, phone for %5==0
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_phones"] == 1
+    assert out.loc[4, "n_emails"] == 1 and out.loc[4, "n_phones"] == 0
+    assert out.loc[1, "n_emails"] == 0 and out.loc[1, "n_phones"] == 0
+    # scrubbed text of a PII doc differs from the no-PII fingerprint
+    # of the same doc only by the injected-and-masked suffix: every
+    # clean_fp is a valid md5 and PII docs' fps differ from doc 1's
+    assert out["clean_fp"].str.len().eq(32).all()
+    assert out.loc[0, "clean_fp"] != out.loc[1, "clean_fp"]
