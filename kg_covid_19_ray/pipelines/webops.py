@@ -405,3 +405,60 @@ FROM aug
 """
 
 REGISTRY["text_scrub_pii"] = (text_scrub_pii, TEXT_SCRUB_PII_SQL)
+
+# --------------------------------------------- composed cleaning
+
+
+def web_clean_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Composed corpus-cleaning pipeline: a document survives iff it is
+    the kept representative of BOTH the canonical-URL dedup
+    (``web_url_dedup``) and the exact-content dedup
+    (``dedup_ops.exact_dedup``) — the two cheapest web-pipeline dedup
+    passes chained the way a production cleaning run chains them.
+    The keep sets are intersected with one hash(doc_id)-bucketed
+    co-route (no broadcast, no driver collection); both inputs are
+    already combiner-bounded. Output: one ``doc_id`` row per kept doc."""
+    from kg_covid_19_ray.pipelines.dedup_ops import exact_dedup
+
+    num_buckets = resolve_num_buckets()
+
+    def side(tag: int):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["keep_doc_id"].astype(np.int64)
+            h = pd.util.hash_pandas_object(ids, index=False).to_numpy()
+            return pd.DataFrame({
+                "doc_id": ids.to_numpy(),
+                "side": np.int8(tag),
+                "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+            })
+        return fn
+
+    def intersect(g: pd.DataFrame) -> pd.DataFrame:
+        both = g.groupby("doc_id", sort=False)["side"].nunique()
+        keep = both[both == 2].index.to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": keep})
+
+    routed = web_url_dedup(sf_dir) \
+        .map_batches(side(0), batch_format="pandas") \
+        .union(exact_dedup(sf_dir)
+               .map_batches(side(1), batch_format="pandas"))
+    return routed.groupby("__bucket").map_groups(
+        intersect, batch_format="pandas")
+
+
+WEB_CLEAN_CORPUS_SQL = WEB_URL_DEDUP_SQL.replace(
+    "SELECT cbase || (CASE WHEN cqs <> '' THEN '?' || cqs ELSE '' END)\n"
+    "         AS canon_url,\n"
+    "       min(doc_id) AS keep_doc_id, count(*) AS n_docs\n"
+    "FROM canon GROUP BY 1\n",
+    """url_keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM canon
+  GROUP BY cbase || (CASE WHEN cqs <> '' THEN '?' || cqs ELSE '' END)
+), text_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT u.doc_id FROM url_keep u JOIN text_keep t USING (doc_id)
+""").replace(")\nurl_keep AS (", "), url_keep AS (")
+
+REGISTRY["web_clean_corpus"] = (web_clean_corpus, WEB_CLEAN_CORPUS_SQL)
