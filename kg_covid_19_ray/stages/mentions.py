@@ -56,6 +56,33 @@ MENTION_SCHEMA = pa.schema([
 # hash-probe path (measured crossover ~30 terms on ~300-char docs)
 SMALL_GAZETTEER_MAX = 32
 
+# bytes allowed for the plain-space tokenizer fast path: on a batch
+# whose text is PURE [A-Za-z0-9_ ], splitting on " " is token-identical
+# to the \W+ regex split (runs of spaces add only "" tokens, which match
+# no surface) and measured 8x cheaper (1.9ms vs 15.6ms per 2048-doc
+# batch). The purity test is a memcpy-speed table lookup over the Arrow
+# data buffer — exact, so impure batches always take the regex path.
+_WORDSPACE = np.zeros(256, dtype=bool)
+for _b in b" 0123456789_" \
+          b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _WORDSPACE[_b] = True
+
+
+def _pure_wordspace(arr: pa.Array) -> bool:
+    """True iff every byte of ``arr``'s data buffer is [A-Za-z0-9_ ].
+
+    Checks the WHOLE buffer (ignoring slice offsets): extra bytes can
+    only turn a pure batch impure — a conservative miss that falls back
+    to the (always-correct) regex tokenizer, never a wrong fast path.
+    """
+    try:
+        buf = arr.buffers()[-1]
+        if buf is None:
+            return True
+        return bool(_WORDSPACE[np.frombuffer(buf, np.uint8)].all())
+    except Exception:
+        return False
+
 class MentionDetector:
     """Callable class for ``map_batches(..., concurrency=N)``.
 
@@ -107,7 +134,13 @@ class MentionDetector:
         """(doc_row, gaz_idx) int arrays from the token-hash probe."""
         if len(self.fast_value_set) == 0:
             return (np.empty(0, np.int64), np.empty(0, np.int32))
-        toks = pc.split_pattern_regex(pc.fill_null(text, ""), r"\W+")
+        filled = pc.fill_null(text, "")
+        filled = filled.combine_chunks() if isinstance(
+            filled, pa.ChunkedArray) else filled
+        if _pure_wordspace(filled):
+            toks = pc.split_pattern(filled, " ")
+        else:
+            toks = pc.split_pattern_regex(filled, r"\W+")
         toks = toks.combine_chunks() if isinstance(
             toks, pa.ChunkedArray) else toks
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)

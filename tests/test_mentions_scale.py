@@ -101,3 +101,36 @@ def test_detector_non_ascii_surface_falls_to_sweep(monkeypatch):
     got = _detector_hits(det, ["a naïve idea", "plain text", "naive"],
                          [0, 1, 2])
     assert got == {(0, 0), (1, 1)}
+
+
+def test_pure_wordspace_gate_and_space_tokenizer_parity(monkeypatch):
+    # Round-5: a batch whose text is pure [A-Za-z0-9_ ] takes the
+    # plain-space tokenizer (8x cheaper than the \W+ regex split); the
+    # purity gate is byte-exact, so one punctuation char routes the
+    # batch back to the regex path. Hits must be identical either way.
+    from kg_covid_19_ray.stages.mentions import _pure_wordspace
+
+    monkeypatch.setenv("KG_RAY_SMALL_GAZETTEER_MAX", "0")
+    entries = [(f"w{i:03d}", f"RAW:{i}", "", "") for i in range(50)]
+    det = MentionDetector(entries)
+
+    pure = ["w001 w002  w003", "  w004 ", "w005_x w006", "", "w007"]
+    assert _pure_wordspace(pa.array(pure, pa.string()))
+    impure = list(pure) + ["w008, w009"]
+    assert not _pure_wordspace(pa.array(impure, pa.string()))
+
+    ids_p = list(range(len(pure)))
+    assert _detector_hits(det, pure, ids_p) == \
+        _brute_force(entries, pure, ids_p)
+    ids_i = list(range(len(impure)))
+    assert _detector_hits(det, impure, ids_i) == \
+        _brute_force(entries, impure, ids_i)
+
+    # null text: fill_null("") keeps the batch pure -> space path; the
+    # sliced-buffer fallback (offset view) must stay conservative
+    with_null = ["w010 w011", None, "w012"]
+    assert _detector_hits(det, with_null, [0, 1, 2]) == \
+        _brute_force(entries, with_null, [0, 1, 2])
+    sliced = pa.array(impure, pa.string()).slice(0, len(pure))
+    # slice still sees the full buffer -> conservatively impure
+    assert not _pure_wordspace(sliced)
