@@ -446,6 +446,12 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
                   lambda: web_url_dedup(big_root).count(), reps=1)
             timed("line_dedup_big",
                   lambda: text_line_dedup(big_root).count(), reps=1)
+            # Gopher-rule quality filter: pure streaming map, the
+            # floor for what a single-pass text op should cost
+            from kg_covid_19_ray.pipelines.webops import \
+                text_quality_filter
+            timed("quality_filter_big",
+                  lambda: text_quality_filter(big_root).count(), reps=1)
         except ImportError:
             pass
 

@@ -462,3 +462,106 @@ SELECT u.doc_id FROM url_keep u JOIN text_keep t USING (doc_id)
 """).replace(")\nurl_keep AS (", "), url_keep AS (")
 
 REGISTRY["web_clean_corpus"] = (web_clean_corpus, WEB_CLEAN_CORPUS_SQL)
+
+# --------------------------------------------- quality filtering
+
+
+# Gopher-style document quality rules (Rae et al. 2021, appendix A1.1
+# — public pipeline literature; the line-based bullet/ellipsis rules
+# are omitted because the documents fixture is single-line, and the
+# repetition rules live in textops.text_repetition). Thresholds are
+# the published ones.
+QF_MIN_TOKENS, QF_MAX_TOKENS = 50, 100_000
+QF_MIN_MEAN_LEN, QF_MAX_MEAN_LEN = 3.0, 10.0
+QF_MAX_SYMBOL_RATIO = 0.1
+QF_MIN_FRAC_ALPHA = 0.8
+QF_MIN_STOPWORDS = 2
+
+# one boundary-anchored C-regex pass per metric instead of
+# materializing token lists (the textops._token_and_stop_counts
+# pattern): a token counts as alphabetic if it contains any letter;
+# the (?:^| ) anchor consumes the separator so each token matches at
+# most once.
+_ALPHA_TOKEN_RE = r"(?:^| )[^ ]*[A-Za-z]"
+
+
+def text_quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-rule quality filter over the documents table: per-doc
+    token count, mean token length, alphabetic-token fraction,
+    symbol-to-token ratio ('#' + '...'), stopword count, and the
+    composed keep decision. One streaming ``map_batches`` — quality
+    filtering is embarrassingly parallel and must never exchange.
+    Rule evaluation uses the UNROUNDED ratios (single IEEE division,
+    bit-identical between numpy and DuckDB); the emitted ratio columns
+    are rounded to 6 places like the rest of the text suite."""
+    from kg_covid_19_ray.pipelines.textops import (
+        _round_half_away, _token_and_stop_counts)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        # null text is dropped, matching the oracle's WHERE text IS NOT
+        # NULL (the round-4 advice class of bug: fillna('') would emit
+        # a row the oracle doesn't have)
+        batch = batch[batch["text"].notna()]
+        text = batch["text"]
+        n_tokens, n_stop = _token_and_stop_counts(text)
+        n_chars = text.str.len().to_numpy(np.int64)
+        safe = np.maximum(n_tokens, 1)
+        mean_len = (n_chars - (n_tokens - 1)) / safe
+        n_alpha = text.str.count(_ALPHA_TOKEN_RE).to_numpy(np.int64)
+        frac_alpha = n_alpha / safe
+        n_symbol = (text.str.count("#")
+                    + text.str.count(r"\.\.\.")).to_numpy(np.int64)
+        symbol_ratio = n_symbol / safe
+        keep = ((n_tokens >= QF_MIN_TOKENS)
+                & (n_tokens <= QF_MAX_TOKENS)
+                & (mean_len >= QF_MIN_MEAN_LEN)
+                & (mean_len <= QF_MAX_MEAN_LEN)
+                & (symbol_ratio <= QF_MAX_SYMBOL_RATIO)
+                & (frac_alpha >= QF_MIN_FRAC_ALPHA)
+                & (n_stop >= QF_MIN_STOPWORDS))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "mean_token_len": _round_half_away(mean_len, 6),
+            "frac_alpha": _round_half_away(frac_alpha, 6),
+            "symbol_ratio": _round_half_away(symbol_ratio, 6),
+            "n_stop": n_stop,
+            "keep": keep.astype(np.int64),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+TEXT_QUALITY_FILTER_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_tokens,
+    (length(text) - (len(string_split(text, ' ')) - 1))
+      / greatest(len(string_split(text, ' ')), 1)::DOUBLE AS mean_len,
+    len(list_filter(string_split(text, ' '),
+                    x -> regexp_matches(x, '[A-Za-z]')))
+      / greatest(len(string_split(text, ' ')), 1)::DOUBLE AS frac_alpha,
+    len(regexp_extract_all(text, '#'))
+      + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbol,
+    length(list_filter(string_split(text, ' '),
+                       x -> x IN ('the', 'a'))) AS n_stop
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_tokens,
+  round(mean_len, 6) AS mean_token_len,
+  round(frac_alpha, 6) AS frac_alpha,
+  round(n_symbol / greatest(n_tokens, 1)::DOUBLE, 6) AS symbol_ratio,
+  n_stop,
+  CAST(n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+   AND mean_len >= {QF_MIN_MEAN_LEN} AND mean_len <= {QF_MAX_MEAN_LEN}
+   AND n_symbol / greatest(n_tokens, 1)::DOUBLE <= {QF_MAX_SYMBOL_RATIO}
+   AND frac_alpha >= {QF_MIN_FRAC_ALPHA}
+   AND n_stop >= {QF_MIN_STOPWORDS} AS BIGINT) AS keep
+FROM m
+"""
+
+REGISTRY["text_quality_filter"] = (text_quality_filter,
+                                   TEXT_QUALITY_FILTER_SQL)

@@ -82,3 +82,32 @@ def test_text_scrub_pii_masks_and_counts(ray_session):
     # clean_fp is a valid md5 and PII docs' fps differ from doc 1's
     assert out["clean_fp"].str.len().eq(32).all()
     assert out.loc[0, "clean_fp"] != out.loc[1, "clean_fp"]
+
+
+def test_text_quality_filter_rules(ray_session, tmp_path):
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "the quick brown fox jumps over a lazy dog " * 6,  # pass
+            "the a short",                        # < 50 tokens
+            " ".join(["the", "a"] + ["ok"] * 60)  # symbols over ratio
+            + " " + " ".join(["#"] * 20),
+            " ".join(["123", "456"] * 30),        # no alpha, no stop
+            None,                                 # dropped entirely
+        ],
+        "lang": "x", "source": "s0", "n_chars": 1,
+    })
+    docs.loc[0, "text"] = docs.loc[0, "text"].strip()
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = webops.text_quality_filter(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert list(out.index) == [0, 1, 2, 3]       # null text emits no row
+    assert out.loc[0, "keep"] == 1
+    assert out.loc[1, "keep"] == 0               # word-count rule
+    assert out.loc[2, "keep"] == 0               # symbol-ratio rule
+    assert out.loc[2, "symbol_ratio"] > 0.1
+    assert out.loc[3, "keep"] == 0               # alpha + stopword rules
+    assert out.loc[3, "frac_alpha"] == 0.0
+    # metric sanity on the passing doc
+    assert out.loc[0, "n_tokens"] == 54
+    assert out.loc[0, "n_stop"] == 12
