@@ -37,12 +37,17 @@ PIPELINE_MODULES = ("relational_queries", "textops", "dedup_ops",
 # VERDICT item 3). Never-verified queries sort as round 0 (earliest).
 CHANGED_THIS_ROUND = (
     # round 5: dual-plan embedding routing, derived windowed buckets,
-    # null-text tokenization fix, pyarrow join prep in the dedup verify
+    # null-text tokenization fix, pyarrow join prep in the dedup verify,
+    # mention-detector space-tokenizer fast path (feeds the kg_* chain),
+    # pagerank derived iteration buckets + vectorized kernels,
+    # decontamination Bloom dual plan
     "dedup_embedding", "embedding_pair_topk",
     "rel_sessions", "rel_sliding_count", "rel_asof_error_click",
     "text_tfidf_topterms", "text_lm_surprisal",
     "dedup_jaccard_topk", "dedup_minhash", "dedup_minhash_clusters",
     "rel_brand_margin",
+    "kg_mentions", "kg_nodes", "kg_edges", "kg_pagerank",
+    "text_decontaminate",
 )
 
 
