@@ -366,7 +366,7 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     cc_edges = int(os.environ.get("GRAFT_CC_EDGES", "1000000"))
     if cc_edges > 0 and (only is None
                          or only in ("cc_components", "pagerank",
-                                     "triangles")):
+                                     "pagerank_actor", "triangles")):
         try:
             from kg_covid_19_ray.sources.graphgen import write_edges_parquet
             from kg_covid_19_ray.stages.cluster import connected_components
@@ -384,7 +384,14 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
                 timed("pagerank",
                       lambda: pagerank_fixed_point(
                           ray.data.read_parquet(cc_path), "a", "b",
-                          iterations=3).count(), reps=1)
+                          iterations=3, plan="dataset").count(), reps=1)
+            # same graph through the bucket-pinned actor plan: edges
+            # ship once, iterations exchange only contribution sums
+            if only is None or only == "pagerank_actor":
+                timed("pagerank_actor",
+                      lambda: pagerank_fixed_point(
+                          ray.data.read_parquet(cc_path), "a", "b",
+                          iterations=3, plan="actor").count(), reps=1)
             if only is None or only == "triangles":
                 from kg_covid_19_ray.stages.triangles import count_triangles
                 timed("triangles",

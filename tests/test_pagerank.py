@@ -44,7 +44,10 @@ def _run(edges, **kw) -> dict:
 
 
 def test_matches_serial_recurrence(ray_session):
-    got = _run(EDGES, iterations=3)
+    # plan="dataset" pinned: the default routes to the actor plan
+    # (covered by test_actor_plan_*); these tests keep the Dataset-plan
+    # kernels under coverage
+    got = _run(EDGES, iterations=3, plan="dataset")
     want = _serial_pagerank(EDGES, 3)
     assert got == want
     # the hub actually accumulates authority
@@ -52,15 +55,45 @@ def test_matches_serial_recurrence(ray_session):
 
 
 def test_bit_identical_across_partitionings(ray_session):
-    a = _run(EDGES, iterations=4, num_partitions=2)
-    b = _run(EDGES, iterations=4, num_partitions=13)
+    a = _run(EDGES, iterations=4, num_partitions=2, plan="dataset")
+    b = _run(EDGES, iterations=4, num_partitions=13, plan="dataset")
     assert a == b
 
 
 def test_duplicate_edges_are_deduped(ray_session):
-    got = _run(EDGES + EDGES, iterations=2)  # every edge twice
+    got = _run(EDGES + EDGES, iterations=2, plan="dataset")
     want = _serial_pagerank(EDGES, 2)
     assert got == want
+
+
+def test_actor_plan_bit_identical(ray_session):
+    """The bucket-pinned actor plan (stages/pagerank_actors.py) is
+    bit-identical to the Dataset plan AND the serial recurrence —
+    integer associativity makes the result partitioning-independent,
+    so the driver's kg_pagerank value-hash oracle holds under either
+    KG_RAY_PR_PLAN setting."""
+    got = _run(EDGES, iterations=3, plan="actor")
+    assert got == _serial_pagerank(EDGES, 3)
+    assert got == _run(EDGES, iterations=3, plan="dataset")
+
+
+def test_actor_plan_dedups_and_single_bucket(ray_session):
+    # duplicate edges dedup inside the bucket; B=1 exercises the
+    # num_returns=1 tuple-unwrap path
+    from kg_covid_19_ray.stages.pagerank_actors import pagerank_actor_plan
+    ds = ray.data.from_items([{"subject": s, "object": o}
+                              for s, o in EDGES + EDGES])
+    res = pagerank_actor_plan(ds, iterations=2, num_actors=1).to_pandas()
+    assert dict(zip(res["id"], res["rank_fp"])) == \
+        _serial_pagerank(EDGES, 2)
+
+
+def test_actor_plan_empty_graph(ray_session):
+    from kg_covid_19_ray.stages.pagerank_actors import pagerank_actor_plan
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"subject": pd.Series([], dtype=object),
+         "object": pd.Series([], dtype=object)}))
+    assert pagerank_actor_plan(empty, num_actors=2).count() == 0
 
 
 def test_empty_graphs_are_graceful(ray_session):
