@@ -448,13 +448,15 @@ def _drop_null_text(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def _sum_token_counts(partials: ray.data.Dataset,
-                      num_buckets: int | None = None) -> ray.data.Dataset:
-    """Sum per-block (token, n) partials into global counts with a
-    hash-bucket exchange + ONE pyarrow group_by per bucket. Real
-    corpora have million-token vocabularies (every typo/id is a
-    token), where Ray's ``groupby().aggregate(Sum)`` pays per-GROUP
-    Python — measured minutes vs seconds on the 1M-doc bench corpus
-    (the NOTES.md reduce rule)."""
+                      num_buckets: int | None = None,
+                      extra_sums: tuple[str, ...] = ()
+                      ) -> ray.data.Dataset:
+    """Sum per-block (token, n[, *extra_sums]) partials into global
+    counts with a hash-bucket exchange + ONE pyarrow group_by per
+    bucket. Real corpora have million-token vocabularies (every
+    typo/id is a token), where Ray's ``groupby().aggregate(Sum)`` pays
+    per-GROUP Python — measured minutes vs seconds on the 1M-doc bench
+    corpus (the NOTES.md reduce rule)."""
     from kg_covid_19_ray.stages.dedup import resolve_num_buckets
     num_buckets = resolve_num_buckets(num_buckets)
 
@@ -466,8 +468,12 @@ def _sum_token_counts(partials: ray.data.Dataset,
 
     def reduce_bucket(t: pa.Table) -> pa.Table:
         agg = t.group_by(["token"], use_threads=False) \
-            .aggregate([("n", "sum")])
-        return pa.table({"token": agg["token"], "n": agg["n_sum"]})
+            .aggregate([("n", "sum")]
+                       + [(c, "sum") for c in extra_sums])
+        cols = {"token": agg["token"], "n": agg["n_sum"]}
+        for c in extra_sums:
+            cols[c] = agg[f"{c}_sum"]
+        return pa.table(cols)
 
     return partials.map_batches(bucketed, batch_format="pandas") \
         .groupby("__bucket").map_groups(reduce_bucket,
@@ -1092,6 +1098,241 @@ def text_lm_surprisal(sf_dir: str,
     return ds.map_batches(score, batch_format="pandas")
 
 
+IMPORTANCE_TOPK = 100
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """DuckDB ``round()`` is half-AWAY-FROM-ZERO; ``floor(x + 0.5)``
+    (the surprisal form, valid there because surprisals are >= 0)
+    differs on negative halves, and importance log-ratios ARE signed —
+    the sign-aware form keeps the int64 oracle exact."""
+    return np.where(x >= 0.0, np.floor(x + 0.5),
+                    np.ceil(x - 0.5)).astype(np.int64)
+
+
+def _importance_join(ds: ray.data.Dataset, lam_ds: ray.data.Dataset,
+                     num_buckets: int | None = None) -> ray.data.Dataset:
+    """Larger-than-heap plan: exploded (doc_id, token) rows meet the
+    precomputed per-token lambda table in token-hash buckets (the
+    _lm_surprisal_join shape, simpler because the side rows already
+    carry their final int64 value), pre-sum per doc (combiner), then
+    one doc-keyed exchange finishes the exact reduce."""
+    from kg_covid_19_ray.stages.dedup import resolve_num_buckets
+    num_buckets = resolve_num_buckets(num_buckets)
+
+    def route_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _drop_null_text(batch)
+        e = pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "tok": batch["text"].str.split(" "),
+        }).explode("tok")
+        h = pd.util.hash_pandas_object(e["tok"], index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": e["doc_id"].to_numpy(np.int64),
+            "tok": e["tok"].to_numpy(),
+            "v": np.zeros(len(e), np.int64),
+            "kind": np.full(len(e), "t"),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def route_lam(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["token"],
+                                       index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": np.zeros(len(batch), np.int64),
+            "tok": batch["token"].to_numpy(),
+            "v": batch["lam"].to_numpy(np.int64),
+            "kind": np.full(len(batch), "f"),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["kind"] == "f"]
+        s = pd.Series(f["v"].to_numpy(np.int64), index=f["tok"])
+        t = g[g["kind"] == "t"]
+        per_tok = t["tok"].map(s).to_numpy(np.int64)
+        part = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(),
+                             "s": per_tok}) \
+            .groupby("doc_id", sort=False)["s"].agg(["count", "sum"]) \
+            .reset_index()
+        h = pd.util.hash_pandas_object(part["doc_id"],
+                                       index=False).to_numpy()
+        return pd.DataFrame({
+            "doc_id": part["doc_id"].to_numpy(np.int64),
+            "cnt": part["count"].to_numpy(np.int64),
+            "s": part["sum"].to_numpy(np.int64),
+            "__bucket": (h % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False)[["cnt", "s"]].sum() \
+            .reset_index()
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "n_tokens": out["cnt"].to_numpy(np.int64),
+            "importance_fp": out["s"].to_numpy(np.int64),
+        })
+
+    both = ds.map_batches(route_tokens, batch_format="pandas").union(
+        lam_ds.map_batches(route_lam, batch_format="pandas"))
+    partials = both.groupby("__bucket").map_groups(
+        attach, batch_format="pandas")
+    return partials.groupby("__bucket").map_groups(
+        finish, batch_format="pandas")
+
+
+def text_importance_sample(sf_dir: str, *,
+                           target_col: str = "lang",
+                           target_val: str = "en",
+                           topk: int = IMPORTANCE_TOPK,
+                           broadcast_max: int | None = None
+                           ) -> ray.data.Dataset:
+    """DSIR-style importance sampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the log-likelihood RATIO of a target-domain
+    unigram LM (here: docs with ``target_col == target_val``,
+    add-one-smoothed) over the raw-corpus unigram LM, and keep the
+    top-``topk`` — the cheap, deterministic skeleton of "pick web
+    pages that look like the domain you care about". Per-token
+
+        lambda(tok) = round((ln((n_t+1)/(T_t+V)) - ln(n/T_r)) * 1e6)
+
+    is fixed to int64 micro-nats ONCE and summed with integer addition
+    (the pagerank/surprisal arithmetic rule), so the score is
+    bit-identical under any partitioning and the DuckDB oracle can
+    value-hash it. Both unigram models come from ONE corpus pass
+    (per-batch value_counts carrying an is-target sum).
+
+    Plans: the (token, lambda) side table broadcasts below
+    ``broadcast_max`` (``KG_RAY_IMPORTANCE_BROADCAST_MAX``, sharing
+    the zero-copy numeric side-table transport); above it the scoring
+    runs through token-hash-bucketed exchanges (``_importance_join``)
+    — web vocabularies are unbounded, same reasoning as surprisal.
+    Selection is a per-batch partial top-k, then a single tiny final
+    reduce over <= blocks x topk rows (never a full sort).
+
+    Output: (doc_id, n_tokens, importance_fp), ties at the boundary
+    broken by doc_id ascending — fully deterministic."""
+    import ray
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", target_col])
+
+    def tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = _drop_null_text(batch)
+        e = pd.DataFrame({
+            "tok": batch["text"].str.split(" "),
+            "is_t": (batch[target_col] == target_val)
+            .to_numpy(np.int64),
+        }).explode("tok")
+        g = e.groupby("tok", sort=False)["is_t"].agg(["size", "sum"])
+        return pd.DataFrame({
+            "token": g.index.to_numpy(),
+            "n": g["size"].to_numpy(np.int64),
+            "n_t": g["sum"].to_numpy(np.int64),
+        })
+
+    freq_ds = _sum_token_counts(
+        ds.map_batches(tok_partial, batch_format="pandas"),
+        extra_sums=("n_t",)).materialize()
+    tot_rows = freq_ds.map_batches(
+        lambda b: pd.DataFrame({"t": [int(b["n"].sum())],
+                                "tt": [int(b["n_t"].sum())],
+                                "v": [len(b)]}),
+        batch_format="pandas").take_all()
+    t_raw = float(sum(r["t"] for r in tot_rows))
+    t_tgt = float(sum(r["tt"] for r in tot_rows))
+    vocab = float(sum(r["v"] for r in tot_rows))
+
+    def lam_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(np.int64)
+        n_t = batch["n_t"].to_numpy(np.int64)
+        lam = (np.log((n_t + 1).astype(np.float64) / (t_tgt + vocab))
+               - np.log(n.astype(np.float64) / t_raw))
+        return pd.DataFrame({"token": batch["token"].to_numpy(),
+                             "lam": _round_half_away(lam * 1e6)})
+
+    if broadcast_max is None:
+        broadcast_max = _env_broadcast_max(
+            "KG_RAY_IMPORTANCE_BROADCAST_MAX")
+
+    body = ds.select_columns(["doc_id", "text"])
+    if freq_ds.count() > broadcast_max:
+        scored = _importance_join(
+            body, freq_ds.map_batches(lam_batch, batch_format="pandas"))
+    else:
+        lam_rows = freq_ds.map_batches(
+            lam_batch, batch_format="pandas").take_all()
+        lam_ref = _broadcast_token_values(
+            [r["token"] for r in lam_rows],
+            np.fromiter((r["lam"] for r in lam_rows), np.int64,
+                        count=len(lam_rows)))
+
+        def score(batch: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(lam_ref)
+            batch = _drop_null_text(batch)
+            e = pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "tok": batch["text"].str.split(" "),
+            }).explode("tok")
+            e["s"] = _lookup_token_values(m, e["tok"])
+            g = e.groupby("doc_id", sort=False)["s"] \
+                .agg(["count", "sum"]).reindex(batch["doc_id"])
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_tokens": g["count"].to_numpy(np.int64),
+                "importance_fp": g["sum"].to_numpy(np.int64),
+            })
+
+        scored = body.map_batches(score, batch_format="pandas")
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["importance_fp", "doc_id"],
+                                 ascending=[False, True]).head(topk)
+
+    def final_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["importance_fp", "doc_id"],
+                                 ascending=[False, True]).head(topk)
+
+    return scored.map_batches(partial_topk, batch_format="pandas") \
+        .repartition(1) \
+        .map_batches(final_topk, batch_format="pandas")
+
+
+def _importance_sql(target_col: str = "lang", target_val: str = "en",
+                    topk: int = IMPORTANCE_TOPK) -> str:
+    return f"""
+WITH tok AS (
+    SELECT doc_id, tok, {target_col}
+    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+), freq AS (
+    SELECT tok, count(*)::BIGINT AS n,
+           sum(CASE WHEN {target_col} = '{target_val}'
+               THEN 1 ELSE 0 END)::BIGINT AS n_t
+    FROM tok GROUP BY tok
+), tots AS (
+    SELECT sum(n)::DOUBLE AS tr, sum(n_t)::DOUBLE AS tt,
+           count(*)::DOUBLE AS v
+    FROM freq
+), lam AS (
+    SELECT tok,
+           round((ln((n_t + 1)::DOUBLE / (tt + v))
+                  - ln(n::DOUBLE / tr)) * 1e6)::BIGINT AS l
+    FROM freq, tots
+)
+SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+       sum(lam.l)::BIGINT AS importance_fp
+FROM tok JOIN lam USING (tok)
+GROUP BY tok.doc_id
+ORDER BY importance_fp DESC, doc_id ASC
+LIMIT {topk}
+"""
+
+
+TEXT_IMPORTANCE_SQL = _importance_sql()
+
+
 TEXT_LM_SURPRISAL_SQL = """
 WITH tok AS (
     SELECT doc_id, tok
@@ -1118,4 +1359,6 @@ REGISTRY = {
     "text_token_freq": (token_freq, TOKEN_FREQ_SQL),
     "text_clean_corpus": (clean_corpus, CLEAN_CORPUS_SQL),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "text_importance_sample": (text_importance_sample,
+                               TEXT_IMPORTANCE_SQL),
 }

@@ -249,6 +249,49 @@ def test_lm_surprisal_join_plan_matches(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b[a.columns])
 
 
+def test_importance_sample_plans_match_and_rank(ray_session, tmp_path):
+    """DSIR importance sampling: both physical plans value-identical
+    (broadcast_max=0 forces the bucketed join), docs made of
+    target-domain-heavy tokens outrank off-domain docs, signed
+    micro-nat rounding is half-away-from-zero on both sides."""
+    docs = pd.DataFrame({
+        "doc_id": range(12),
+        # docs 0-5 are the 'en' target domain and share its tokens;
+        # docs 6-11 use disjoint off-domain vocabulary
+        "text": [f"alpha beta gamma t{i % 2}" for i in range(6)]
+        + [f"zeta eta theta z{i % 2}" for i in range(6)],
+        "lang": ["en"] * 6 + ["de"] * 6,
+        "source": "s0", "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    a = textops.text_importance_sample(str(tmp_path), topk=5) \
+        .to_pandas().reset_index(drop=True)
+    b = textops.text_importance_sample(str(tmp_path), topk=5,
+                                       broadcast_max=0) \
+        .to_pandas().sort_values(
+            ["importance_fp", "doc_id"],
+            ascending=[False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    # every selected doc is from the target domain (their tokens have
+    # positive log-ratio; off-domain tokens are absent from the target
+    # LM and score negative)
+    assert set(a["doc_id"]) <= set(range(6))
+    assert (a["importance_fp"].to_numpy() > 0).all()
+
+
+def test_round_half_away_matches_duckdb():
+    """_round_half_away == DuckDB round() on signed halves — the case
+    floor(x+0.5) gets wrong for negatives."""
+    import duckdb
+    import numpy as np
+    xs = np.array([2.5, -2.5, 1.4999, -1.4999, 0.5, -0.5, 3.0, -3.0])
+    got = textops._round_half_away(xs)
+    want = [int(r[0]) for r in duckdb.sql(
+        "SELECT round(x)::BIGINT FROM (SELECT unnest(["
+        + ",".join(map(str, xs.tolist())) + "]) AS x)").fetchall()]
+    assert got.tolist() == want
+
+
 def test_tfidf_surprisal_null_text_matches_oracle(ray_session, tmp_path):
     """NULL text tokenizes to ZERO tokens (DuckDB's unnest emits no
     rows for NULL), so a null-text doc is ABSENT from tfidf/surprisal
