@@ -459,6 +459,15 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
                 text_quality_filter
             timed("quality_filter_big",
                   lambda: text_quality_filter(big_root).count(), reps=1)
+            # DSIR importance sampling: one corpus freq pass + one
+            # scored pass + partial top-k (big corpus has no lang
+            # column; the target domain is one source shard)
+            from kg_covid_19_ray.pipelines.textops import \
+                text_importance_sample
+            timed("importance_big",
+                  lambda: text_importance_sample(
+                      big_root, target_col="source",
+                      target_val="src0").count(), reps=1)
         except ImportError:
             pass
 

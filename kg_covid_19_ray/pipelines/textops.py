@@ -393,6 +393,27 @@ FROM documents
 TFIDF_K = 3
 
 
+def _collect_token_values(ds: "ray.data.Dataset",
+                          value_col: str) -> tuple:
+    """Driver-side collect of a (token, <value_col>) side table as two
+    COLUMNAR arrays via Arrow batches. ``take_all()`` converts every
+    row to a Python dict on the driver — measured minutes of
+    single-thread CPU at the multi-million-token vocabularies the
+    salted 1M-doc bench corpus produces (~3.5M distinct tokens), which
+    is pure overhead before the broadcast even happens. Arrow batches
+    concat + ``to_pandas``/``to_numpy`` keep the whole collect
+    vectorized."""
+    import pyarrow as pa
+    tabs = [t for t in ds.iter_batches(batch_format="pyarrow")
+            if t.num_rows]
+    if not tabs:
+        return pd.Series([], dtype=object), np.empty(0, np.int64)
+    t = pa.concat_tables(tabs)
+    return (t.column("token").to_pandas(),
+            t.column(value_col).to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False))
+
+
 def _broadcast_token_values(tokens, values: np.ndarray):
     """Broadcast a token -> int64 side table. A Python dict in the
     object store is re-DESERIALIZED by every map task (pickle has no
@@ -588,11 +609,8 @@ def tfidf_topterms(sf_dir: str,
     if freq_ds.count() > broadcast_max:
         return _tfidf_join(ds, freq_ds, n_docs)
 
-    df_rows = freq_ds.take_all()
-    df_ref = _broadcast_token_values(
-        [r["token"] for r in df_rows],
-        np.fromiter((r["n"] for r in df_rows), np.int64,
-                    count=len(df_rows)))
+    df_tokens, df_ns = _collect_token_values(freq_ds, "n")
+    df_ref = _broadcast_token_values(df_tokens, df_ns)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(df_ref)  # zero-copy shared-memory read (numeric)
@@ -1072,11 +1090,9 @@ def text_lm_surprisal(sf_dir: str,
     if freq_ds.count() > broadcast_max:
         return _lm_surprisal_join(ds, freq_ds, total)
 
-    freq = freq_ds.take_all()
-    counts = np.fromiter((r["n"] for r in freq), np.int64,
-                         count=len(freq))
+    freq_tokens, counts = _collect_token_values(freq_ds, "n")
     surp_ref = _broadcast_token_values(
-        [r["token"] for r in freq],
+        freq_tokens,
         np.floor(np.log(total / counts) * 1e6 + 0.5).astype(np.int64))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1101,11 +1117,14 @@ def text_lm_surprisal(sf_dir: str,
 IMPORTANCE_TOPK = 100
 
 
-def _round_half_away(x: np.ndarray) -> np.ndarray:
+def _round_signed_i64(x: np.ndarray) -> np.ndarray:
     """DuckDB ``round()`` is half-AWAY-FROM-ZERO; ``floor(x + 0.5)``
     (the surprisal form, valid there because surprisals are >= 0)
     differs on negative halves, and importance log-ratios ARE signed —
-    the sign-aware form keeps the int64 oracle exact."""
+    the sign-aware form keeps the int64 oracle exact. Distinct name:
+    the module-level two-arg ``_round_half_away(arr, ndigits)`` above
+    is resolved at call time inside map_batches closures, so reusing
+    that name here would shadow it for every other kernel."""
     return np.where(x >= 0.0, np.floor(x + 0.5),
                     np.ceil(x - 0.5)).astype(np.int64)
 
@@ -1251,7 +1270,7 @@ def text_importance_sample(sf_dir: str, *,
         lam = (np.log((n_t + 1).astype(np.float64) / (t_tgt + vocab))
                - np.log(n.astype(np.float64) / t_raw))
         return pd.DataFrame({"token": batch["token"].to_numpy(),
-                             "lam": _round_half_away(lam * 1e6)})
+                             "lam": _round_signed_i64(lam * 1e6)})
 
     if broadcast_max is None:
         broadcast_max = _env_broadcast_max(
@@ -1262,12 +1281,10 @@ def text_importance_sample(sf_dir: str, *,
         scored = _importance_join(
             body, freq_ds.map_batches(lam_batch, batch_format="pandas"))
     else:
-        lam_rows = freq_ds.map_batches(
-            lam_batch, batch_format="pandas").take_all()
-        lam_ref = _broadcast_token_values(
-            [r["token"] for r in lam_rows],
-            np.fromiter((r["lam"] for r in lam_rows), np.int64,
-                        count=len(lam_rows)))
+        lam_tokens, lam_vals = _collect_token_values(
+            freq_ds.map_batches(lam_batch, batch_format="pandas"),
+            "lam")
+        lam_ref = _broadcast_token_values(lam_tokens, lam_vals)
 
         def score(batch: pd.DataFrame) -> pd.DataFrame:
             m = ray.get(lam_ref)

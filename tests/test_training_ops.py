@@ -279,17 +279,24 @@ def test_importance_sample_plans_match_and_rank(ray_session, tmp_path):
     assert (a["importance_fp"].to_numpy() > 0).all()
 
 
-def test_round_half_away_matches_duckdb():
-    """_round_half_away == DuckDB round() on signed halves — the case
+def test_round_signed_i64_matches_duckdb():
+    """_round_signed_i64 == DuckDB round() on signed halves — the case
     floor(x+0.5) gets wrong for negatives."""
     import duckdb
     import numpy as np
     xs = np.array([2.5, -2.5, 1.4999, -1.4999, 0.5, -0.5, 3.0, -3.0])
-    got = textops._round_half_away(xs)
+    got = textops._round_signed_i64(xs)
     want = [int(r[0]) for r in duckdb.sql(
         "SELECT round(x)::BIGINT FROM (SELECT unnest(["
         + ",".join(map(str, xs.tolist())) + "]) AS x)").fetchall()]
     assert got.tolist() == want
+    # Regression pin: the module-level two-arg _round_half_away(arr,
+    # ndigits) must keep exactly two parameters — a later one-arg
+    # redefinition under the same name shadowed it for every kernel
+    # in the module (closures resolve module globals at call time).
+    import inspect
+    assert len(inspect.signature(
+        textops._round_half_away).parameters) == 2
 
 
 def test_tfidf_surprisal_null_text_matches_oracle(ray_session, tmp_path):
