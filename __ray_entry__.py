@@ -48,9 +48,10 @@ CHANGED_THIS_ROUND = (
     "rel_brand_margin",
     "kg_mentions", "kg_nodes", "kg_edges", "kg_pagerank",
     "text_decontaminate",
-    # late round 5: new DSIR importance-sampling query (never verified)
-    # and kg_pagerank's default plan switch to bucket-pinned actors
-    "text_importance_sample",
+    # late round 5: new DSIR importance-sampling and CCNet-tercile
+    # queries (never verified) and kg_pagerank's default plan switch
+    # to bucket-pinned actors
+    "text_importance_sample", "text_quality_percentile",
 )
 
 

@@ -468,6 +468,13 @@ def run_bench(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
                   lambda: text_importance_sample(
                       big_root, target_col="source",
                       target_val="src0").count(), reps=1)
+            # CCNet-tercile percentile over the same 1M-doc corpus
+            # (surprisal pass + value-range-bounded histogram + rank)
+            from kg_covid_19_ray.pipelines.textops import \
+                text_quality_percentile
+            timed("quality_pct_big",
+                  lambda: text_quality_percentile(big_root).count(),
+                  reps=1)
         except ImportError:
             pass
 

@@ -1365,6 +1365,120 @@ GROUP BY tok.doc_id
 """
 
 
+# ------------------------------------------ quality percentile
+
+
+def _mean_surprisal_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    s = batch["surprisal_fp"].to_numpy(np.int64)
+    n = batch["n_tokens"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy(np.int64),
+        "mean_surprisal_fp": _round_signed_i64(s / n),
+    })
+
+
+def _mean_hist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    counts = batch["mean_surprisal_fp"].value_counts()
+    return pd.DataFrame({"token": counts.index.to_numpy(np.int64),
+                         "n": counts.to_numpy(np.int64)})
+
+
+def text_quality_percentile(sf_dir: str,
+                            broadcast_max: int | None = None
+                            ) -> ray.data.Dataset:
+    """CCNet-style quality terciles (Wenzek et al. 2020: split a crawl
+    corpus into head/middle/tail by per-document LM perplexity and
+    keep the head). Per document: mean token surprisal in micro-nats
+    (exact int64, from text_lm_surprisal's unigram LM — a real KenLM
+    slots into the same side table), its percent_rank over the corpus,
+    and the tercile bucket; LOW mean surprisal = common-token-heavy =
+    'head'.
+
+    Shape at scale: the per-doc (doc_id, mean) table is 16 bytes/doc,
+    materialized once and streamed twice (histogram pass + rank pass).
+    The histogram is the _sum_token_counts bucketed combiner reduce
+    keyed by the int64 score, and its OUTPUT is bounded by the score's
+    VALUE RANGE — mean micro-nats per token <= ln(total_tokens)*1e6,
+    ~4e7 distinct values no matter how many documents exist — so the
+    driver-side cumulative step is corpus-size-independent. The
+    (sorted scores, ranks-below) table broadcasts as ONE 2xK int64
+    numpy array (zero-copy shared-memory reads per task, the
+    _broadcast_token_values rule) and each batch resolves ranks with
+    np.searchsorted; no per-doc exchange beyond surprisal's own.
+
+    Oracle exactness: percent_rank = (count strictly below) / (N - 1)
+    is one correctly-rounded IEEE division of the same integers DuckDB
+    divides, and the tercile cut compares the UNROUNDED rank against
+    1.0/3.0 and 2.0/3.0 (identical doubles on both sides), so bucket
+    labels value-hash exactly. broadcast_max forwards to
+    text_lm_surprisal's dual-plan router. Engine-added capability:
+    the reference has no corpus-relative scoring."""
+    import ray
+
+    mean_ds = text_lm_surprisal(sf_dir, broadcast_max=broadcast_max) \
+        .map_batches(_mean_surprisal_batch, batch_format="pandas") \
+        .materialize()
+
+    hist = _sum_token_counts(
+        mean_ds.map_batches(_mean_hist_partial, batch_format="pandas"))
+    scores, counts = _collect_token_values(hist, "n")
+    u = scores.to_numpy().astype(np.int64, copy=False)
+    order = np.argsort(u, kind="stable")
+    u, c = u[order], counts[order]
+    below = np.concatenate(([0], np.cumsum(c)[:-1])).astype(np.int64)
+    n_docs = int(c.sum())
+    rank_ref = ray.put(np.stack([u, below]))
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(rank_ref)  # zero-copy shared-memory read
+        s = batch["mean_surprisal_fp"].to_numpy(np.int64)
+        blw = m[1][np.searchsorted(m[0], s)]
+        pr = (blw / (n_docs - 1) if n_docs > 1
+              else np.zeros(len(s), np.float64))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(np.int64),
+            "mean_surprisal_fp": s,
+            "pct_rank": _round_half_away(pr, 6),
+            "bucket": np.where(pr < 1.0 / 3.0, "head",
+                               np.where(pr < 2.0 / 3.0, "middle",
+                                        "tail")),
+        })
+
+    return mean_ds.map_batches(finish, batch_format="pandas")
+
+
+TEXT_QUALITY_PCT_SQL = """
+WITH tok AS (
+    SELECT doc_id, tok
+    FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+), freq AS (
+    SELECT tok, count(*)::BIGINT AS n FROM tok GROUP BY tok
+), tot AS (SELECT count(*)::DOUBLE AS t FROM tok
+), s AS (
+    SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+           sum(round(ln((SELECT t FROM tot) / freq.n)
+                     * 1e6)::BIGINT)::BIGINT AS surprisal_fp
+    FROM tok JOIN freq USING (tok)
+    GROUP BY tok.doc_id
+), r AS (
+    SELECT doc_id,
+           round(surprisal_fp / n_tokens::DOUBLE)::BIGINT
+               AS mean_surprisal_fp
+    FROM s
+), p AS (
+    SELECT doc_id, mean_surprisal_fp,
+           percent_rank() OVER (ORDER BY mean_surprisal_fp) AS pr
+    FROM r
+)
+SELECT doc_id, mean_surprisal_fp,
+       round(pr, 6) AS pct_rank,
+       CASE WHEN pr < 1.0/3.0 THEN 'head'
+            WHEN pr < 2.0/3.0 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM p
+"""
+
+
 REGISTRY = {
     "text_stats": (text_stats, TEXT_STATS_SQL),
     "text_tfidf_topterms": (tfidf_topterms, TFIDF_TOPTERMS_SQL),
@@ -1378,4 +1492,6 @@ REGISTRY = {
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "text_importance_sample": (text_importance_sample,
                                TEXT_IMPORTANCE_SQL),
+    "text_quality_percentile": (text_quality_percentile,
+                                TEXT_QUALITY_PCT_SQL),
 }

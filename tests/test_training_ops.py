@@ -279,6 +279,45 @@ def test_importance_sample_plans_match_and_rank(ray_session, tmp_path):
     assert (a["importance_fp"].to_numpy() > 0).all()
 
 
+def test_quality_percentile_matches_oracle(ray_session, tmp_path):
+    """CCNet-tercile percentile ranks: engine == DuckDB window oracle
+    on a tie-heavy corpus (identical docs share a mean-surprisal score,
+    so percent_rank's strictly-below semantics and the tercile CASE
+    cut are both exercised on ties), and the head bucket is the
+    common-token-heavy docs."""
+    import duckdb
+    docs = pd.DataFrame({
+        "doc_id": range(9),
+        # docs 0-3 identical (common tokens -> low mean surprisal,
+        # tied scores straddling the 1/3 cut), 4-6 mixed, 7-8 heavy
+        # in rare tokens -> tail
+        "text": ["the the the a a"] * 4
+        + [f"the a rare{i} word{i}" for i in range(3)]
+        + ["xq1 xq2 xq3 xq4 xq5", "zq1 zq2 zq3 zq4 zq5"],
+        "lang": "en", "source": "s0", "n_chars": 1,
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    got = textops.text_quality_percentile(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(
+        textops.TEXT_QUALITY_PCT_SQL + " ORDER BY doc_id").df()
+    for col in ("doc_id", "mean_surprisal_fp"):
+        assert got[col].astype(np.int64).tolist() \
+            == want[col].astype(np.int64).tolist(), col
+    assert np.allclose(got["pct_rank"], want["pct_rank"], atol=0)
+    assert got["bucket"].tolist() == want["bucket"].tolist()
+    # semantics: the tied common-token docs rank at pct 0 (head);
+    # the rare-token docs are the tail
+    byid = got.set_index("doc_id")
+    assert (byid.loc[[0, 1, 2, 3], "bucket"] == "head").all()
+    assert (byid.loc[[7, 8], "pct_rank"]
+            > byid.loc[[0, 1, 2, 3], "pct_rank"].max()).all()
+    assert set(byid.loc[[7, 8], "bucket"]) <= {"middle", "tail"}
+
+
 def test_round_signed_i64_matches_duckdb():
     """_round_signed_i64 == DuckDB round() on signed halves — the case
     floor(x+0.5) gets wrong for negatives."""
