@@ -1425,7 +1425,10 @@ def text_quality_percentile(sf_dir: str,
     u = scores.to_numpy().astype(np.int64, copy=False)
     order = np.argsort(u, kind="stable")
     u, c = u[order], counts[order]
-    below = np.concatenate(([0], np.cumsum(c)[:-1])).astype(np.int64)
+    # empty corpus: cumsum()[:-1] is shape (0,) but the [0] seed makes
+    # below shape (1,) — keep both arrays the same length for stack
+    below = (np.concatenate(([0], np.cumsum(c)[:-1])) if c.size
+             else np.empty(0)).astype(np.int64)
     n_docs = int(c.sum())
     rank_ref = ray.put(np.stack([u, below]))
 

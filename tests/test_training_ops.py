@@ -318,6 +318,19 @@ def test_quality_percentile_matches_oracle(ray_session, tmp_path):
     assert set(byid.loc[[7, 8], "bucket"]) <= {"middle", "tail"}
 
 
+def test_quality_percentile_empty_corpus(ray_session, tmp_path):
+    """All-null-text (effectively empty) corpus: zero output rows, no
+    crash in the cumulative-rank construction (the cumsum[:-1] vs [0]
+    seed length mismatch class of bug)."""
+    pd.DataFrame({
+        "doc_id": pd.array([0, 1], dtype="int64"),
+        "text": pd.array([None, None], dtype="string"),
+        "lang": "en", "source": "s0", "n_chars": 0,
+    }).to_parquet(tmp_path / "documents.parquet")
+    out = textops.text_quality_percentile(str(tmp_path)).to_pandas()
+    assert len(out) == 0
+
+
 def test_round_signed_i64_matches_duckdb():
     """_round_signed_i64 == DuckDB round() on signed halves — the case
     floor(x+0.5) gets wrong for negatives."""
